@@ -1,0 +1,90 @@
+"""Exact duplicate detection: 3-point sampling + (size, kind, sample) groups.
+
+SURVEY.md §2 S6 + A1 + A2. Reference semantics:
+  - group by (size desc, kind); only multi-member groups get sampled
+    (/root/reference/src/commands/dupes.rs:126-151)
+  - 3-point sample: whole content if len <= s, else s/3 bytes from the
+    start, s/3 centered at len/2, and (s - 2*(s/3)) from the end
+    (dupes.rs:460-501)
+  - groups split by exact sample bytes; groups with >1 member are dupes
+
+Spark-first: the file-read becomes pure binary slicing on the `html`
+column; "exact sample bytes" equality becomes sha2-256 equality over the
+slice. The reference's *lazy* sampling (only size-collided groups do I/O)
+is encoded in the plan: a first aggregation keeps only colliding (size,
+kind) groups, and the hash is computed only on the survivors — at 100 TB
+this avoids hashing the long tail of unique sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+from .config import DedupConfig, DEFAULT
+
+
+def three_point_sample(html: Column, sample_bytes: int) -> Column:
+    """Binary 3-point slice mirroring dupes.rs:460-501 offset math (1-based)."""
+    length = F.octet_length(html)
+    chunk = sample_bytes // 3
+    tail = sample_bytes - 2 * chunk
+    mid_pos = (length / F.lit(2)).cast("long") - F.lit(chunk // 2)
+    end_pos = length - F.lit(tail)
+    return F.when(length <= sample_bytes, html).otherwise(
+        F.concat(
+            html.substr(F.lit(1), F.lit(chunk)),
+            html.substr(mid_pos + 1, F.lit(chunk)),
+            html.substr(end_pos + 1, F.lit(tail)),
+        )
+    )
+
+
+def with_size_kind(docs: DataFrame) -> DataFrame:
+    """size = byte length of html; kind = lang (the document analog of the
+    reference's media-kind, SURVEY.md §1.2)."""
+    return docs.withColumn("size", F.octet_length("html").cast("long")).withColumn(
+        "kind", F.coalesce(F.col("lang"), F.lit("unknown"))
+    )
+
+
+def exact_dup_groups(docs: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
+    """Return (url, size, kind, sample_hash, group_size) for exact-dup rows.
+
+    Two-step plan (lazy-sampling analog): filter to size-collided groups
+    BEFORE computing the sample hash, so the expensive slice+hash runs only
+    on potential duplicates.
+    """
+    base = with_size_kind(docs)
+    w = W.partitionBy("size", "kind")
+    survivors = (
+        base.withColumn("_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_n") > 1)
+        .drop("_n")
+    )
+    sampled = survivors.withColumn(
+        "sample_hash",
+        F.sha2(three_point_sample(F.col("html"), cfg.sample_kb * 1024), 256),
+    )
+    wg = W.partitionBy("size", "kind", "sample_hash")
+    return (
+        sampled.withColumn("group_size", F.count(F.lit(1)).over(wg))
+        .filter(F.col("group_size") > 1)
+        .select("url", "size", "kind", "sample_hash", "group_size")
+    )
+
+
+def exact_edges(docs: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
+    """Star edges (member -> group representative) for the global clustering
+    pass; sim = 1.0 by definition of exact equality."""
+    groups = exact_dup_groups(docs, cfg)
+    wg = W.partitionBy("size", "kind", "sample_hash")
+    with_rep = groups.withColumn("rep", F.min("url").over(wg))
+    return (
+        with_rep.filter(F.col("url") != F.col("rep"))
+        .select(
+            F.col("rep").alias("src"),
+            F.col("url").alias("dst"),
+            F.lit(1.0).alias("sim"),
+            F.lit("exact").alias("pass_name"),
+        )
+    )
