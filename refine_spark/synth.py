@@ -158,10 +158,13 @@ class _Builder:
         cid = self.new_cluster()
         base = self.rng.sample(self.vocab, 4)
         lang = self.rng.choice(["en", "pt"])
+        # variants chosen so the reference scoring accepts them at 0.7:
+        # tag-noise variant cleans to the identical name; dropped-token
+        # variant hits the subset branch of rare_token_similarity
         variants = [
             "-".join(base),
-            "-".join(base) + "-" + self.rng.choice(["webdl", "extra", "v2"]),
-            "-".join(base[:3] + [base[3] + "x"]),
+            "-".join(base) + "-" + self.rng.choice(["webdl", "web-dl", "x264"]),
+            "-".join(base[:3]),
         ]
         k = self.rng.randint(2, 3)
         for v in variants[:k]:

@@ -1,0 +1,40 @@
+"""Golden pipeline test: planted-cluster recall + sequential exclusion."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from refine_spark import synth
+from refine_spark.pipeline import pair_recall, run_dedup
+
+
+def test_full_pipeline_recall_and_exclusions(spark, tmp_path):
+    docs, truth = synth.to_spark(spark, n_docs=500)
+    result = run_dedup(spark, docs, checkpoint_dir=str(tmp_path / "ckpt"))
+    clusters = result["clusters"].cache()
+
+    # recall >= 0.99 vs planted (non-sequential) dup pairs (BASELINE.md)
+    recall = pair_recall(clusters, truth)
+    assert recall >= 0.99, f"recall {recall:.4f} < 0.99"
+
+    # sequential families must NOT be co-clustered by the name pass
+    seq_urls = [r["url"] for r in truth.filter(F.col("family") == "sequential").collect()]
+    seq_clusters = clusters.filter(F.col("url").isin(seq_urls)).collect()
+    # a sequential url may appear via some other pass only if text/substring
+    # genuinely links it; with planted distinct texts none should cluster
+    assert len(seq_clusters) == 0, f"sequential rows clustered: {seq_clusters[:5]}"
+
+    # metrics recorded per stage
+    stages = {m["stage"] for m in result["metrics"]}
+    assert {"exact_edges", "text_edges", "name_edges", "substring_edges", "clusters"} <= stages
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    docs, _ = synth.to_spark(spark, n_docs=200)
+    ck = str(tmp_path / "ckpt2")
+    r1 = run_dedup(spark, docs, checkpoint_dir=ck, passes=("exact",))
+    n1 = r1["clusters"].count()
+    r2 = run_dedup(spark, docs, checkpoint_dir=ck, passes=("exact",))
+    n2 = r2["clusters"].count()
+    assert n1 == n2
+    assert any(m["extra"] == "resumed" for m in r2["metrics"])
