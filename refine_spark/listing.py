@@ -1,0 +1,79 @@
+"""Natural sort key + list aggregates (SURVEY.md §2.7 O1/O2 + §2.5 A10/S7).
+
+Natural ordering semantics from /root/reference/src/utils/natural.rs:6-105
+(tests natural.rs:107-176), re-expressed as a *sort-key expression* so it
+runs JVM-side inside ORDER BY (no custom collation, no UDF):
+
+  - the string splits into digit / non-digit runs
+  - a digit run encodes as '0' + value left-padded to 20 + run length
+    left-padded to 4  (value first, original length breaks leading-zero
+    ties — natural.rs:53)
+  - a text run encodes as '1' + lowercased text (digits sort before text
+    because of the '0'/'1' markers — natural.rs:19-21)
+
+The same construction is expressible in DuckDB SQL (list_transform),
+which the operator oracle uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_SPLIT_RE = r"(?<=\d)(?=\D)|(?<=\D)(?=\d)"
+
+
+def natural_key(col: Column) -> Column:
+    chunks = F.split(col, _SPLIT_RE)
+    encode = lambda c: F.when(  # noqa: E731
+        c.rlike("^[0-9]"),
+        F.concat(
+            F.lit("0"),
+            F.lpad(F.regexp_replace(c, "^0+(?=.)", ""), 20, "0"),
+            F.lpad(F.length(c).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.concat(F.lit("1"), F.lower(c)))
+    return F.array_join(F.transform(chunks, encode), "")
+
+
+def natural_sorted(df: DataFrame, col_name: str) -> DataFrame:
+    return df.orderBy(natural_key(F.col(col_name)), F.col(col_name))
+
+
+def list_plan(
+    docs: DataFrame, by: str = "size", rev: bool = False
+) -> DataFrame:
+    """O2 multi-criteria listing over (url, name, size).
+
+    by in (size, name, path); default order size desc, name/path asc;
+    secondary sort is always natural path order."""
+    assert by in ("size", "name", "path")
+    secondary = natural_key(F.col("url"))
+    if by == "size":
+        primary = F.col("size").desc() if not rev else F.col("size").asc()
+    elif by == "name":
+        k = natural_key(F.col("name"))
+        primary = k.asc() if not rev else k.desc()
+    else:
+        k = natural_key(F.col("url"))
+        primary = k.asc() if not rev else k.desc()
+    return docs.orderBy(primary, secondary, F.col("url"))
+
+
+def dir_totals(docs: DataFrame) -> DataFrame:
+    """A10/S7: per-directory-prefix size sum + file count, one shuffle
+    (the reference re-scans each directory recursively, list.rs:130-155)."""
+    parent = F.regexp_replace(F.col("url"), r"/[^/]*$", "")
+    return (
+        docs.withColumn("dir", parent)
+        .groupBy("dir")
+        .agg(
+            F.sum("size").alias("total_size"),
+            F.count(F.lit(1)).alias("n_files"),
+        )
+    )
+
+
+def grand_total(docs: DataFrame) -> DataFrame:
+    return docs.agg(
+        F.sum("size").alias("total_size"), F.count(F.lit(1)).alias("n_files")
+    )

@@ -1,0 +1,214 @@
+"""Rename + join clash detection/resolution plans.
+
+SURVEY.md §2.5 A8/A9 + §2.6 W4/W5 + §2.4 J4-J6.
+
+rename (reference /root/reference/src/commands/rename.rs):
+  - new_name = trim(stem) -> naming rules -> blocked when cleared
+  - extension re-appended
+  - clash groups = same (parent, new_name) with >1 member
+  - strategies: sequence (-1, -2 suffixes on changed rows), ignore
+    (clashing rows dropped), forbid (all changed rows in a clashing
+    parent blocked)
+  - keep rows whose new_name differs from the current name
+
+join (reference /root/reference/src/commands/join.rs):
+  - union source rows with rows already in the target (tagged), detect
+    same-name groups across directories; the in-place (or first) row
+    keeps its name; others resolve per strategy:
+      name_sequence: `stem-2`, `stem-3`, ... skipping names taken in the
+        target (shared counter across the group, join.rs:126-135)
+      parent_name / name_parent: embed the parent dir name
+      ignore: skip clashing rows
+  - rows already in place are dropped from the plan and counted
+
+All resolution is window/aggregate work; orderings pin url so plans are
+reproducible (the reference's unstable sorts are nondeterministic on
+ties — we deliberately fix that).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from .naming import apply_naming
+
+
+def _parent(url):
+    return F.regexp_replace(url, r"/[^/]*$", "")
+
+
+def rename_plan(
+    df: DataFrame,
+    rules: list[tuple[str, str]] | None = None,
+    clashes: str = "sequence",
+) -> DataFrame:
+    """Rename plan over (url, name, stem, ext).
+
+    Returns (url, parent, name, new_name, changed, clash, blocked,
+    resolution)."""
+    assert clashes in ("sequence", "ignore", "forbid")
+    base = df.withColumn("new_name", F.trim(F.col("stem")))
+    base = apply_naming(base, rules or [])
+    dot_ext = F.when(F.col("ext") == "", F.lit("")).otherwise(
+        F.concat(F.lit("."), F.col("ext"))
+    )
+    base = base.withColumn(
+        "new_name",
+        F.when(F.col("blocked"), F.col("new_name")).otherwise(
+            F.concat(F.col("new_name"), dot_ext)
+        ),
+    ).withColumn("parent", _parent(F.col("url")))
+
+    live = base.filter(~F.col("blocked"))
+    wclash = W.partitionBy("parent", "new_name")
+    live = live.withColumn("_n_same", F.count(F.lit(1)).over(wclash)).withColumn(
+        "clash", F.col("_n_same") > 1
+    ).withColumn("changed", F.col("new_name") != F.col("name"))
+
+    if clashes == "forbid":
+        wparent = W.partitionBy("parent")
+        any_clash = F.max(F.col("clash").cast("int")).over(wparent) == 1
+        resolved = live.withColumn(
+            "blocked", F.col("blocked") | (any_clash & F.col("changed"))
+        ).withColumn(
+            "new_name",
+            F.when(any_clash, F.lit("")).otherwise(F.col("new_name")),
+        ).withColumn("resolution", F.lit(""))
+    elif clashes == "ignore":
+        resolved = live.withColumn(
+            "new_name", F.when(F.col("clash"), F.lit("")).otherwise(F.col("new_name"))
+        ).withColumn("resolution", F.lit(""))
+    else:  # sequence: changed rows in clash groups get -1, -2, ... (W4)
+        wseq = W.partitionBy("parent", "new_name").orderBy("url")
+        rn = F.row_number().over(
+            W.partitionBy("parent", "new_name", "changed").orderBy("url")
+        )
+        stem_new = F.regexp_replace("new_name", r"\.[^.]*$", "")
+        seq_name = F.when(
+            F.col("ext") == "", F.concat(F.col("new_name"), F.lit("-"), rn)
+        ).otherwise(F.concat(stem_new, F.lit("-"), rn, F.lit("."), F.col("ext")))
+        resolved = live.withColumn(
+            "resolution",
+            F.when(F.col("clash") & F.col("changed"), F.lit(" (added sequence number)")).otherwise(F.lit("")),
+        ).withColumn(
+            "new_name",
+            F.when(F.col("clash") & F.col("changed"), seq_name).otherwise(
+                F.col("new_name")
+            ),
+        )
+        _ = wseq  # documented: rn orders by url within (parent, name, changed)
+
+    blocked_rows = base.filter(F.col("blocked")).withColumn(
+        "clash", F.lit(False)
+    ).withColumn("changed", F.lit(False)).withColumn("resolution", F.lit(""))
+    out_cols = ["url", "parent", "name", "new_name", "changed", "clash", "blocked", "resolution"]
+    resolved = resolved.withColumn(
+        "changed", (F.col("new_name") != F.col("name")) & (F.col("new_name") != "")
+    )
+    return resolved.select(*out_cols).unionByName(blocked_rows.select(*out_cols))
+
+
+def join_plan(
+    src: DataFrame,
+    target: DataFrame,
+    target_dir: str,
+    clashes: str = "name_sequence",
+    force: bool = False,
+    max_fix_iters: int = 4,
+) -> DataFrame:
+    """Join plan: move rows from `src` into `target_dir`.
+
+    `src`/`target` need (url, name, stem, ext). Returns
+    (url, name, new_name, origin, in_place, clash, skip).
+    """
+    assert clashes in ("name_sequence", "parent_name", "name_parent", "ignore")
+    tagged = src.withColumn("origin", F.lit("src")).unionByName(
+        target.withColumn("origin", F.lit("target"))
+    ).dropDuplicates(["url"])
+
+    parent = _parent(F.col("url"))
+    in_place = (
+        F.col("url").startswith(target_dir.rstrip("/") + "/")
+        if force
+        else parent == target_dir.rstrip("/")
+    )
+    tagged = tagged.withColumn("in_place", in_place)
+
+    wname = W.partitionBy("name")
+    worder = wname.orderBy(F.col("in_place").desc(), "url")
+    tagged = (
+        tagged.withColumn("_n", F.count(F.lit(1)).over(wname))
+        .withColumn("clash", F.col("_n") > 1)
+        .withColumn("_rk", F.row_number().over(worder))
+    )
+
+    dot = F.when(F.col("ext") == "", F.lit("")).otherwise(F.lit("."))
+    if clashes == "ignore":
+        plan = tagged.withColumn("skip", F.col("clash") & (F.col("_rk") >= 1))
+        plan = plan.withColumn("new_name", F.lit(None).cast("string"))
+    elif clashes in ("parent_name", "name_parent"):
+        par_leaf = F.element_at(F.split(parent, "/"), -1)
+        fmt = (
+            F.concat(par_leaf, F.lit("-"), F.col("stem"), dot, F.col("ext"))
+            if clashes == "parent_name"
+            else F.concat(F.col("stem"), F.lit("-"), par_leaf, dot, F.col("ext"))
+        )
+        plan = tagged.withColumn(
+            "new_name", F.when(F.col("clash"), fmt)
+        ).withColumn("skip", F.lit(False))
+    else:  # name_sequence (W5): stem-{i}, i from 2, skipping taken names
+        taken = target.select(F.col("name").alias("taken_name")).distinct()
+        cand = tagged.withColumn(
+            "new_name",
+            F.when(
+                F.col("clash") & (F.col("_rk") > 1),
+                F.concat(F.col("stem"), F.lit("-"), F.col("_rk"), dot, F.col("ext")),
+            ),
+        ).withColumn("_bump", F.lit(0))
+        # iterative residual fix: bump rows whose generated name is taken
+        for _ in range(max_fix_iters):
+            conflicts = (
+                cand.filter(F.col("new_name").isNotNull())
+                .join(taken, F.col("new_name") == F.col("taken_name"), "left_semi")
+                .select("url")
+                .withColumn("_hit", F.lit(1))
+            )
+            cand = (
+                cand.join(conflicts, "url", "left")
+                .withColumn(
+                    "_bump",
+                    F.when(F.col("_hit") == 1, F.col("_bump") + 1).otherwise(F.col("_bump")),
+                )
+                .withColumn(
+                    "new_name",
+                    F.when(
+                        F.col("new_name").isNotNull(),
+                        F.concat(
+                            F.col("stem"), F.lit("-"),
+                            F.col("_rk") + F.col("_bump"), dot, F.col("ext"),
+                        ),
+                    ),
+                )
+                .drop("_hit")
+            )
+        plan = cand.withColumn("skip", F.lit(False)).drop("_bump")
+
+    return plan.select(
+        "url", "name", "new_name", "origin", "in_place", "clash", "skip"
+    )
+
+
+def join_receipt(plan: DataFrame) -> DataFrame:
+    """A12 summary receipt: totals / clashes / in_place as one row.
+
+    clashes counts group_size - 1 per clashing name (one member is — or
+    will be — in the target; the others clash, join.rs:119)."""
+    clash_rows = F.sum(F.when(F.col("clash"), 1).otherwise(0))
+    clash_names = F.count_distinct(F.when(F.col("clash"), F.col("name")))
+    return plan.agg(
+        F.count(F.lit(1)).alias("total"),
+        (clash_rows - clash_names).cast("long").alias("clashes"),
+        F.sum(
+            F.when(F.col("in_place") & (F.col("origin") == "src"), 1).otherwise(0)
+        ).alias("in_place"),
+    )

@@ -1,0 +1,212 @@
+"""Command-plan tests: rebuild, rename, join, listing, probe."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from refine_spark.listing import dir_totals, list_plan
+from refine_spark.probe import deduped_names, probe_names
+from refine_spark.rebuild import rebuild_plan
+from refine_spark.rename_join import join_plan, join_receipt, rename_plan
+
+
+def _docs(spark, rows):
+    """rows: list of (url, stem, ext, warc_ts-seconds)."""
+    data = [
+        (
+            r[0],
+            r[0].rsplit("/", 1)[-1],
+            r[1],
+            r[2],
+            datetime(2024, 1, 1, tzinfo=timezone.utc)
+            .replace(second=0, minute=r[3] % 60, hour=r[3] // 60),
+        )
+        for r in rows
+    ]
+    return spark.createDataFrame(
+        data, "url string, name string, stem string, ext string, warc_ts timestamp"
+    )
+
+
+def test_rebuild_full_mode(spark):
+    # three files in one smart-match group + one unrelated file;
+    # full mode renumbers 1..n ordered by created
+    rows = [
+        ("http://h/d/FOO_BAR~3.mp4", "FOO_BAR~3", "mp4", 2),
+        ("http://h/d/foo_bar~1.mp4", "foo_bar~1", "mp4", 1),
+        ("http://h/d/FooBar.mp4", "FooBar", "mp4", 3),
+        ("http://h/d/other~7.txt", "other~7", "txt", 4),
+    ]
+    plan = rebuild_plan(_docs(spark, rows))
+    got = {r["url"]: r for r in plan.collect()}
+    # smart match strips spaces/underscores; default (lowercase) mode picks
+    # the LONGEST name as representative ('foo_bar', len 7)
+    names = {u: got[u]["new_name"] for u in got}
+    assert names["http://h/d/foo_bar~1.mp4"] == "foo_bar~1.mp4"
+    assert names["http://h/d/FOO_BAR~3.mp4"] == "foo_bar~2.mp4"
+    assert names["http://h/d/FooBar.mp4"] == "foo_bar~3.mp4"
+    assert names["http://h/d/other~7.txt"] == "other~1.txt"
+    # changed flags
+    assert got["http://h/d/other~7.txt"]["changed"]
+    assert not got["http://h/d/foo_bar~1.mp4"]["changed"]
+
+
+def test_rebuild_partial_mode_keeps_seqs(spark):
+    rows = [
+        ("http://h/d/show~2.mkv", "show~2", "mkv", 5),
+        ("http://h/d/show~5.mkv", "show~5", "mkv", 1),
+        ("http://h/d/show extra.mkv", "show extra", "mkv", 9),
+    ]
+    plan = rebuild_plan(_docs(spark, rows), partial=True)
+    got = {r["url"]: r["new_seq"] for r in plan.collect()}
+    assert got["http://h/d/show~2.mkv"] == 2
+    assert got["http://h/d/show~5.mkv"] == 5
+    # 'show extra' is its own smart group (different canonical), seq 6? no:
+    # group key differs -> gets its own sequence starting at max+1 = 1
+    assert got["http://h/d/show extra.mkv"] == 1
+
+
+def test_rebuild_case_mode_keeps_case(spark):
+    # case mode: names keep their case; smart-match groups are
+    # case-sensitive (only separator variants group together), so the
+    # uppercase-count election ties and the last in sort order wins
+    rows = [
+        ("http://h/d/FOO_Bar~1.mp4", "FOO_Bar~1", "mp4", 1),
+        ("http://h/d/FOOBar~2.mp4", "FOOBar~2", "mp4", 2),
+    ]
+    plan = rebuild_plan(_docs(spark, rows), case=True)
+    got = {r["url"]: r["new_name"] for r in plan.collect()}
+    assert got["http://h/d/FOO_Bar~1.mp4"] == "FOOBar~1.mp4"
+    assert got["http://h/d/FOOBar~2.mp4"] == "FOOBar~2.mp4"
+
+
+def test_rename_sequence_clash(spark):
+    # two files rename to the same name in one parent -> -1, -2 suffixes
+    rows = [
+        ("http://h/d/a old.txt", "a old", "txt", 1),
+        ("http://h/d/b old.txt", "b old", "txt", 2),
+        ("http://h/e/c old.txt", "c old", "txt", 3),
+    ]
+    from refine_spark.naming import compile_rules
+
+    rules = compile_rules(replace=[(r"^[abc] ", "x ")])
+    plan = rename_plan(_docs(spark, rows), rules, clashes="sequence")
+    got = {r["url"]: r for r in plan.collect()}
+    d_names = sorted(
+        got[u]["new_name"] for u in got if u.startswith("http://h/d/")
+    )
+    assert d_names == ["x old-1.txt", "x old-2.txt"]
+    assert got["http://h/e/c old.txt"]["new_name"] == "x old.txt"
+    assert not got["http://h/e/c old.txt"]["clash"]
+
+
+def test_rename_forbid_blocks_parent(spark):
+    rows = [
+        ("http://h/d/a old.txt", "a old", "txt", 1),
+        ("http://h/d/b old.txt", "b old", "txt", 2),
+    ]
+    from refine_spark.naming import compile_rules
+
+    rules = compile_rules(replace=[(r"^[ab] ", "x ")])
+    plan = rename_plan(_docs(spark, rows), rules, clashes="forbid")
+    assert all(r["blocked"] for r in plan.collect())
+
+
+def test_rename_ignore_drops_clashing(spark):
+    rows = [
+        ("http://h/d/a old.txt", "a old", "txt", 1),
+        ("http://h/d/b old.txt", "b old", "txt", 2),
+    ]
+    from refine_spark.naming import compile_rules
+
+    rules = compile_rules(replace=[(r"^[ab] ", "x ")])
+    plan = rename_plan(_docs(spark, rows), rules, clashes="ignore")
+    assert all(not r["changed"] for r in plan.collect())
+
+
+def test_join_name_sequence(spark):
+    src = _docs(
+        spark,
+        [
+            ("http://h/d1/report.txt", "report", "txt", 1),
+            ("http://h/d2/report.txt", "report", "txt", 2),
+            ("http://h/d2/unique.txt", "unique", "txt", 3),
+        ],
+    )
+    target = _docs(
+        spark,
+        [
+            ("http://h/t/report-2.txt", "report-2", "txt", 4),
+        ],
+    )
+    plan = join_plan(src, target, "http://h/t", clashes="name_sequence")
+    got = {r["url"]: r for r in plan.collect()}
+    # first 'report' keeps its name, second gets a free sequence skipping
+    # the target's taken 'report-2.txt'
+    seqs = sorted(
+        got[u]["new_name"]
+        for u in got
+        if got[u]["origin"] == "src" and got[u]["new_name"] is not None
+    )
+    assert seqs == ["report-3.txt"]
+    receipt = join_receipt(plan).collect()[0]
+    assert receipt["clashes"] >= 1
+
+
+def test_join_in_place_detection(spark):
+    src = _docs(spark, [("http://h/t/already.txt", "already", "txt", 1)])
+    target = _docs(spark, [])
+    plan = join_plan(src, target, "http://h/t")
+    rows = plan.collect()
+    assert rows[0]["in_place"]
+
+
+def test_list_and_dir_totals(spark):
+    pdf = pd.DataFrame(
+        {
+            "url": ["http://h/a/f2.txt", "http://h/a/f10.txt", "http://h/b/g.txt"],
+            "name": ["f2.txt", "f10.txt", "g.txt"],
+            "size": [100, 50, 10],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    by_size = [r["name"] for r in list_plan(df, by="size").collect()]
+    assert by_size == ["f2.txt", "f10.txt", "g.txt"]
+    by_name = [r["name"] for r in list_plan(df, by="name").collect()]
+    assert by_name == ["f2.txt", "f10.txt", "g.txt"]  # natural: 2 < 10
+    totals = {r["dir"]: (r["total_size"], r["n_files"]) for r in dir_totals(df).collect()}
+    assert totals["http://h/a"] == (150, 2)
+    assert totals["http://h/b"] == (10, 1)
+
+
+def test_probe_with_fake_client(spark):
+    pdf = pd.DataFrame(
+        {
+            "url": [
+                "http://h/d/alpha~1.txt",
+                "http://h/d/alpha~2.txt",
+                "http://h/d/beta~1.txt",
+                "http://h/d/gone~1.txt",
+                "http://h/d/flaky~1.txt",
+            ],
+            "stem": ["alpha~1", "alpha~2", "beta~1", "gone~1", "flaky~1"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    names = deduped_names(df)
+    assert names.count() == 4  # alpha deduped
+
+    def fake(name: str) -> int:
+        if name == "gone":
+            return 404
+        if name == "flaky":
+            raise OSError("boom")
+        return 200
+
+    verdicts = {r["name"]: r["verdict"] for r in probe_names(names, fake).collect()}
+    assert verdicts["alpha"] == "valid"
+    assert verdicts["gone"] == "invalid"
+    assert verdicts["flaky"] == "failed"
