@@ -1,38 +1,601 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   -> flagship dedup pipeline over sf0.001 documents
+queries()      -> one entry per implemented operator (SURVEY.md §2)
+oracle_sql()   -> DuckDB-equivalent SQL per query (omitted for the
+                  genuinely non-SQL-expressible iterative/UDF operators;
+                  those get the driver's rows-only check)
+
+Column-name parity rule: every computed column is aliased identically in
+the Spark query and the SQL (the driver sorts columns by name before
+value-hashing). Float-valued outputs are avoided (counts/ids/strings) so
+the hash comparison is engine-stable; where a float is semantically
+unavoidable it is rounded in BOTH engines.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from refine_spark import synth
+from refine_spark.analysis import (
+    LANG_MARKERS, bpe_ish_count, doc_fingerprint, lang_id, quality_stats,
+    token_count,
+)
+from refine_spark.clean import cleaned_name_cols
+from refine_spark.cluster import connected_components
+from refine_spark.config import DedupConfig, STOPWORDS, TAGS_MULTI_PATTERN
+from refine_spark.listing import NATURAL_KEY_DUCKDB, natural_key
+from refine_spark.pipeline import run_dedup
+from refine_spark.scan import collection_parts
+from refine_spark.signatures import with_signatures
+from refine_spark.simsearch import brute_force_topk, cosine_dup_pairs
+from refine_spark.substring import substring_edges
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs_as_pipeline_input(docs: DataFrame) -> DataFrame:
+    """Adapt the testdata documents table (doc_id, text, lang, source,
+    n_chars) to the canonical pipeline shape (url, warc_ts, html, text,
+    lang)."""
+    return docs.select(
+        F.concat(F.lit("doc://"), F.col("source"), F.lit("/"), F.col("doc_id")).alias("url"),
+        F.timestamp_seconds(F.col("doc_id") + 1_700_000_000).alias("warc_ts"),
+        F.encode("text", "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full near-dup pipeline over the sf0.001 documents table."""
+    docs = _docs_as_pipeline_input(_read(spark, "/root/testdata/sf0.001", "documents"))
+    result = run_dedup(spark, docs, passes=("exact", "text"))
+    return result["clusters"]
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+_STOPWORD_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+_LANG_SQL_HITS = {
+    lang: "len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+    f"t -> t IN ({', '.join(repr(m) for m in markers)})))"
+    for lang, markers in LANG_MARKERS.items()
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- dedup family (documents) ------------------------------------
+
+    def exact_dup_groups(spark, sf):
+        docs = _read(spark, sf, "documents")
+        return (
+            docs.groupBy(F.md5("text").alias("text_hash"))
+            .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("rep_id"))
+            .filter(F.col("n_dups") > 1)
+        )
+
+    q["exact_dup_groups"] = exact_dup_groups
+
+    def size_kind_groups(spark, sf):
+        # A1 first stage: size/kind collision groups (the lazy-sampling
+        # pre-filter; testdata has no full exact dups, this stage has rows)
+        docs = _read(spark, sf, "documents")
+        return (
+            docs.groupBy(
+                F.col("n_chars").alias("size"),
+                F.coalesce("lang", F.lit("unknown")).alias("kind"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_members"))
+            .filter(F.col("n_members") > 1)
+        )
+
+    q["size_kind_groups"] = size_kind_groups
+
+    def top_dup_groups(spark, sf):
+        return (
+            exact_dup_groups(spark, sf)
+            .orderBy(F.desc("n_dups"), "text_hash")
+            .limit(10)
+        )
+
+    q["top_dup_groups"] = top_dup_groups
+
+    def token_freq(spark, sf):
+        docs = _read(spark, sf, "documents")
+        return (
+            docs.select(F.explode(F.split("text", " ")).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("freq"))
+        )
+
+    q["token_freq"] = token_freq
+
+    def ngram_jaccard_pairs(spark, sf):
+        docs = _read(spark, sf, "documents")
+        tok = docs.select(
+            "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+        )
+        cnt = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        a = tok.select(F.col("doc_id").alias("id_a"), "token")
+        b = tok.select(F.col("doc_id").alias("id_b"), "token")
+        inter = (
+            a.join(b, "token")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        ca = cnt.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+        cb = cnt.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+        return (
+            inter.join(ca, "id_a")
+            .join(cb, "id_b")
+            .withColumn("n_union", F.col("na") + F.col("nb") - F.col("n_inter"))
+            .filter(F.col("n_inter") * 10 >= F.col("n_union") * 9)
+            .select("id_a", "id_b", "n_inter", "n_union")
+        )
+
+    q["ngram_jaccard_pairs"] = ngram_jaccard_pairs
+
+    def minhash_clusters(spark, sf):  # rows-only: iterative + UDF
+        docs = _docs_as_pipeline_input(_read(spark, sf, "documents"))
+        signed = with_signatures(docs.select("url", "text"))
+        from refine_spark.pipeline import minhash_edges
+
+        edges = minhash_edges(signed)
+        return connected_components(edges)
+
+    q["minhash_clusters"] = minhash_clusters
+
+    def simhash_fingerprints(spark, sf):  # rows-only: UDF, engine-specific hash
+        docs = _docs_as_pipeline_input(_read(spark, sf, "documents"))
+        return with_signatures(docs.select("url", "text")).select("url", "simhash")
+
+    q["simhash_fingerprints"] = simhash_fingerprints
+
+    def substring_pairs(spark, sf):  # rows-only: winnowing + LCS UDF
+        docs = _docs_as_pipeline_input(_read(spark, sf, "documents"))
+        cfg = DedupConfig(min_substring=48, winnow_ngram=16, winnow_window=33)
+        return substring_edges(docs, cfg).select("src", "dst")
+
+    q["substring_pairs"] = substring_pairs
+
+    def dedup_pipeline_synth(spark, sf):  # rows-only: full iterative pipeline
+        docs, _ = synth.to_spark(spark, n_docs=200)
+        return run_dedup(spark, docs)["clusters"].select("url", "cluster_id")
+
+    q["dedup_pipeline_synth"] = dedup_pipeline_synth
+
+    # ---- embeddings family -------------------------------------------
+
+    def embedding_cosine_pairs(spark, sf):
+        emb = _read(spark, sf, "embeddings")
+        return cosine_dup_pairs(emb, threshold=0.45)
+
+    q["embedding_cosine_pairs"] = embedding_cosine_pairs
+
+    def ann_topk(spark, sf):
+        emb = _read(spark, sf, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 3)
+        return brute_force_topk(emb, queries_df, k=5).select(
+            "query_id", "vec_id", "rank"
+        )
+
+    q["ann_topk"] = ann_topk
+
+    # ---- text analysis -------------------------------------------------
+
+    def lang_id_counts(spark, sf):
+        docs = _read(spark, sf, "documents")
+        return (
+            docs.select(lang_id(F.col("text")).alias("lang_pred"))
+            .groupBy("lang_pred")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    q["lang_id_counts"] = lang_id_counts
+
+    def token_counts(spark, sf):
+        docs = _read(spark, sf, "documents")
+        return docs.select(
+            "doc_id",
+            token_count(F.col("text")).alias("n_tokens"),
+            bpe_ish_count(F.col("text")).alias("n_units"),
+        )
+
+    q["token_counts"] = token_counts
+
+    def quality(spark, sf):
+        docs = _read(spark, sf, "documents")
+        stats = quality_stats(F.col("text"))
+        return docs.select("doc_id", *[c.alias(k) for k, c in stats.items()])
+
+    q["quality"] = quality
+
+    def fingerprints(spark, sf):
+        docs = _read(spark, sf, "documents")
+        return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
+
+    q["fingerprints"] = fingerprints
+
+    def clean_names(spark, sf):
+        docs = _read(spark, sf, "documents")
+        cleaned, _ = cleaned_name_cols(F.col("text"))
+        return docs.select("doc_id", cleaned.alias("cleaned"))
+
+    q["clean_names"] = clean_names
+
+    # ---- scan / filter / grammar ----------------------------------------
+
+    def fetch_filter(spark, sf):
+        docs = _read(spark, sf, "documents")
+        return docs.filter(
+            F.col("text").rlike("(?i)spark") & ~F.col("source").rlike("(?i)^src1$")
+        ).select("doc_id")
+
+    q["fetch_filter"] = fetch_filter
+
+    def collection_grammar(spark, sf):
+        part = _read(spark, sf, "part")
+        slug = F.concat(
+            F.lower(F.regexp_replace("p_name", " ", "_")),
+            F.lit("~"),
+            (F.col("p_partkey") % 40).cast("string"),
+        )
+        parts = collection_parts(slug)
+        return part.select(
+            "p_partkey",
+            parts["canonical"].alias("canonical"),
+            parts["seq"].alias("seq"),
+        )
+
+    q["collection_grammar"] = collection_grammar
+
+    def natural_keys(spark, sf):
+        part = _read(spark, sf, "part")
+        return part.select("p_partkey", natural_key(F.col("p_name")).alias("nat_key"))
+
+    q["natural_keys"] = natural_keys
+
+    # ---- grouping / window / join operators ------------------------------
+
+    def source_totals(spark, sf):
+        docs = _read(spark, sf, "documents")
+        return docs.groupBy("source").agg(
+            F.sum("n_chars").alias("total_chars"), F.count(F.lit(1)).alias("n_docs")
+        )
+
+    q["source_totals"] = source_totals
+
+    def window_seq(spark, sf):
+        orders = _read(spark, sf, "orders")
+        w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        return orders.select(
+            "o_custkey", "o_orderkey", F.row_number().over(w).alias("seq")
+        )
+
+    q["window_seq"] = window_seq
+
+    def rep_election(spark, sf):
+        orders = _read(spark, sf, "orders")
+        return orders.groupBy("o_custkey").agg(
+            F.max_by(
+                "o_orderkey", F.struct("o_totalprice", "o_orderkey")
+            ).alias("rep_order")
+        )
+
+    q["rep_election"] = rep_election
+
+    def clash_seq(spark, sf):
+        part = _read(spark, sf, "part")
+        w = W.partitionBy("p_brand").orderBy("p_partkey")
+        return part.select("p_partkey", "p_brand", F.row_number().over(w).alias("rn"))
+
+    q["clash_seq"] = clash_seq
+
+    def clash_groups(spark, sf):
+        docs = _read(spark, sf, "documents")
+        name = F.concat(F.lit("doc-"), (F.col("doc_id") % 25).cast("string"))
+        return (
+            docs.select("source", name.alias("name"))
+            .groupBy("source", "name")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+        )
+
+    q["clash_groups"] = clash_groups
+
+    def events_user_stats(spark, sf):
+        events = _read(spark, sf, "events")
+        return events.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+                "n_errors"
+            ),
+        )
+
+    q["events_user_stats"] = events_user_stats
+
+    def events_session_seq(spark, sf):
+        events = _read(spark, sf, "events")
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        return events.select(
+            "user_id", "event_id", F.row_number().over(w).alias("seq")
+        )
+
+    q["events_session_seq"] = events_session_seq
+
+    def tpch_pricing(spark, sf):
+        li = _read(spark, sf, "lineitem")
+        return li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+        )
+
+    q["tpch_pricing"] = tpch_pricing
+
+    def segment_join(spark, sf):
+        orders = _read(spark, sf, "orders")
+        cust = _read(spark, sf, "customer")
+        return (
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.countDistinct("o_custkey").alias("n_cust"),
+            )
+        )
+
+    q["segment_join"] = segment_join
+
+    def orphan_parts(spark, sf):
+        part = _read(spark, sf, "part")
+        li = _read(spark, sf, "lineitem")
+        orphans = part.join(
+            li.select(F.col("l_partkey").alias("p_partkey")).distinct(),
+            "p_partkey",
+            "left_anti",
+        )
+        return orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+
+    q["orphan_parts"] = orphan_parts
+
+    def levenshtein_pairs(spark, sf):
+        part = _read(spark, sf, "part")
+        w = W.orderBy("p_partkey")
+        withnext = part.select(
+            "p_partkey", "p_name", F.lead("p_name").over(w).alias("next_name")
+        )
+        return withnext.filter(F.col("next_name").isNotNull()).select(
+            "p_partkey", F.levenshtein("p_name", "next_name").alias("lev")
+        )
+
+    q["levenshtein_pairs"] = levenshtein_pairs
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect; same aliases as the Spark queries)
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    nat_key = NATURAL_KEY_DUCKDB.format(col="p_name")
+    grammar_pat = r"^(\w+)(?:\+(\w+))?~(\d+)(.*)$"
+    lang_case = (
+        "CASE "
+        f"WHEN {_LANG_SQL_HITS['en']} >= {_LANG_SQL_HITS['pt']} "
+        f" AND {_LANG_SQL_HITS['en']} >= {_LANG_SQL_HITS['de']} "
+        f" AND {_LANG_SQL_HITS['en']} > 0 THEN 'en' "
+        f"WHEN {_LANG_SQL_HITS['pt']} >= {_LANG_SQL_HITS['de']} "
+        f" AND {_LANG_SQL_HITS['pt']} > 0 THEN 'pt' "
+        f"WHEN {_LANG_SQL_HITS['de']} > 0 THEN 'de' "
+        "ELSE 'und' END"
+    )
+    return {
+        "exact_dup_groups": """
+            SELECT md5(text) AS text_hash, count(*) AS n_dups,
+                   min(doc_id) AS rep_id
+            FROM documents GROUP BY md5(text) HAVING count(*) > 1
+        """,
+        "top_dup_groups": """
+            SELECT md5(text) AS text_hash, count(*) AS n_dups,
+                   min(doc_id) AS rep_id
+            FROM documents GROUP BY md5(text) HAVING count(*) > 1
+            ORDER BY n_dups DESC, text_hash LIMIT 10
+        """,
+        "token_freq": """
+            SELECT token, count(*) AS freq FROM (
+                SELECT unnest(string_split(text, ' ')) AS token FROM documents
+            ) GROUP BY token
+        """,
+        "ngram_jaccard_pairs": """
+            WITH tok AS (
+                SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+                FROM documents
+            ),
+            cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                FROM tok a JOIN tok b USING (token)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id_a, id_b, n_inter, ca.n + cb.n - n_inter AS n_union
+            FROM inter
+            JOIN cnt ca ON id_a = ca.doc_id
+            JOIN cnt cb ON id_b = cb.doc_id
+            WHERE n_inter * 10 >= (ca.n + cb.n - n_inter) * 9
+        """,
+        "size_kind_groups": """
+            SELECT n_chars AS size, coalesce(lang, 'unknown') AS kind,
+                   count(*) AS n_members
+            FROM documents GROUP BY n_chars, coalesce(lang, 'unknown')
+            HAVING count(*) > 1
+        """,
+        "embedding_cosine_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+                       FROM embeddings WHERE vec_id < 3),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(q.qvec, e.embedding) AS cos
+                FROM embeddings e CROSS JOIN q
+                WHERE q.query_id <> e.vec_id
+            )
+            SELECT query_id, vec_id, rank FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, vec_id) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+        """,
+        "lang_id_counts": f"""
+            SELECT lang_pred, count(*) AS n FROM (
+                SELECT {lang_case} AS lang_pred FROM documents
+            ) GROUP BY lang_pred
+        """,
+        "token_counts": r"""
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                   t -> t <> '')) AS n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
+                       AS n_units
+            FROM documents
+        """,
+        "quality": r"""
+            SELECT doc_id,
+                   length(text) AS n_chars_q,
+                   len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                   t -> t <> '')) AS n_tokens,
+                   len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+                   len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                       t -> t IN ('the','and','of','in','to','is','that',
+                                  'with','for','on'))) AS n_stopwords,
+                   list_aggregate(list_transform(
+                       string_split_regex(trim(lower(text)), '\s+'),
+                       t -> length(t)), 'max') AS max_token_len
+            FROM documents
+        """,
+        "fingerprints": r"""
+            SELECT doc_id,
+                   md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+            FROM documents
+        """,
+        "clean_names": rf"""
+            SELECT doc_id,
+                CASE WHEN len(toks) = 0 THEN base
+                     ELSE array_to_string(toks, ' ') END AS cleaned
+            FROM (
+                SELECT doc_id, base,
+                    list_filter(
+                        regexp_extract_all(
+                            regexp_replace(base, '{TAGS_MULTI_PATTERN}', '', 'g'),
+                            '[a-zA-Z0-9]+'),
+                        t -> t NOT IN ({_STOPWORD_SQL})) AS toks
+                FROM (SELECT doc_id, lower(text) AS base FROM documents)
+            )
+        """,
+        "fetch_filter": """
+            SELECT doc_id FROM documents
+            WHERE regexp_matches(text, '(?i)spark')
+              AND NOT regexp_matches(source, '(?i)^src1$')
+        """,
+        "collection_grammar": f"""
+            SELECT p_partkey,
+                CASE WHEN regexp_matches(slug, '{grammar_pat}')
+                     THEN regexp_extract(slug, '{grammar_pat}', 1)
+                     ELSE slug END AS canonical,
+                CASE WHEN regexp_matches(slug, '{grammar_pat}')
+                     THEN CAST(regexp_extract(slug, '{grammar_pat}', 3) AS BIGINT)
+                     END AS seq
+            FROM (
+                SELECT p_partkey,
+                       lower(replace(p_name, ' ', '_')) || '~'
+                           || CAST(p_partkey % 40 AS VARCHAR) AS slug
+                FROM part
+            )
+        """,
+        "natural_keys": f"""
+            SELECT p_partkey, {nat_key} AS nat_key FROM part
+        """,
+        "source_totals": """
+            SELECT source, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   count(*) AS n_docs
+            FROM documents GROUP BY source
+        """,
+        "window_seq": """
+            SELECT o_custkey, o_orderkey,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey) AS seq
+            FROM orders
+        """,
+        "rep_election": """
+            SELECT DISTINCT o_custkey,
+                   first_value(o_orderkey) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey DESC) AS rep_order
+            FROM orders
+        """,
+        "clash_seq": """
+            SELECT p_partkey, p_brand,
+                   row_number() OVER (PARTITION BY p_brand
+                                      ORDER BY p_partkey) AS rn
+            FROM part
+        """,
+        "clash_groups": """
+            SELECT source, name, count(*) AS n FROM (
+                SELECT source,
+                       'doc-' || CAST(doc_id % 25 AS VARCHAR) AS name
+                FROM documents
+            ) GROUP BY source, name HAVING count(*) > 1
+        """,
+        "events_user_stats": """
+            SELECT user_id, count(*) AS n_events,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_errors
+            FROM events GROUP BY user_id
+        """,
+        "events_session_seq": """
+            SELECT user_id, event_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS seq
+            FROM events
+        """,
+        "tpch_pricing": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+                   CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "segment_join": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   count(DISTINCT o_custkey) AS n_cust
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "orphan_parts": """
+            SELECT count(*) AS n_orphans FROM part
+            WHERE p_partkey NOT IN (SELECT DISTINCT l_partkey FROM lineitem)
+        """,
+        "levenshtein_pairs": """
+            SELECT p_partkey, levenshtein(p_name, next_name) AS lev FROM (
+                SELECT p_partkey, p_name,
+                       lead(p_name) OVER (ORDER BY p_partkey) AS next_name
+                FROM part
+            ) WHERE next_name IS NOT NULL
+        """,
+    }

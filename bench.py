@@ -1,0 +1,162 @@
+"""Benchmark harness.
+
+Default mode: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+--scaling mode: run the dedup pipeline at two parallelism levels
+(local[N] and local[4N], same input) in separate processes, compute
+throughput scaling efficiency = T_N / (4 * T_4N), and write
+BENCH/BASELINE.md (BASELINE.json requirement: efficiency >= 0.8).
+
+--pipeline-only mode (internal): one timed dedup run on the current
+$SPARK_GRAFT_CPUS; used by --scaling subprocesses.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "8000"))
+SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "30000"))
+
+
+def _sf_of(path: str) -> float:
+    tail = os.path.basename(path.rstrip("/"))
+    try:
+        return float(tail.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _spark(cores: int):
+    from refine_spark.session import get_spark
+
+    return get_spark(
+        app_name="refine_spark_bench",
+        cores=cores,
+        shuffle_partitions=max(8, 2 * cores),
+    )
+
+
+def run_dedup_timed(spark, n_docs: int) -> tuple[float, int]:
+    """Generate synth docs (untimed), run the full pipeline (timed)."""
+    from refine_spark import synth
+    from refine_spark.pipeline import run_dedup
+
+    docs, _ = synth.to_spark(spark, n_docs=n_docs)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism).localCheckpoint()
+    n = docs.count()
+    t0 = time.monotonic()
+    result = run_dedup(spark, docs)
+    result["clusters"].count()  # force full evaluation
+    return time.monotonic() - t0, n
+
+
+def headline(spark) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    qset = entrymod.queries()
+    names = [
+        "minhash_clusters",
+        "tpch_pricing",
+        "window_seq",
+        "segment_join",
+        "token_freq",
+        "embedding_cosine_pairs",
+        "ann_topk",
+        "natural_keys",
+        "quality",
+        "source_totals",
+    ]
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.monotonic()
+        df = qset[name](spark, SF_DIR)
+        df.count()
+        times[name] = round(time.monotonic() - t0, 3)
+    return times
+
+
+def main() -> None:
+    if not os.path.isdir(SF_DIR):
+        print(f"error: SPARK_GRAFT_SF_DIR not found: {SF_DIR}", file=sys.stderr)
+        sys.exit(2)
+
+    if "--pipeline-only" in sys.argv:
+        spark = _spark(CPUS)
+        wall, n = run_dedup_timed(spark, SCALING_DOCS)
+        print(json.dumps({"cores": CPUS, "wall_sec": wall, "docs": n}))
+        spark.stop()
+        return
+
+    if "--scaling" in sys.argv:
+        results = {}
+        for cores in (8, 32):
+            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
+            out = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py"), "--pipeline-only"],
+                capture_output=True, text=True, env=env, check=True,
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            results[cores] = json.loads(line)
+            print(f"local[{cores}]: {results[cores]}")
+        t8, t32 = results[8]["wall_sec"], results[32]["wall_sec"]
+        docs = results[32]["docs"]
+        eff = t8 / (4 * t32)
+        thr8, thr32 = docs / t8, docs / t32
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+            fh.write(
+                "# BENCH baseline — dedup throughput + scaling efficiency\n\n"
+                "Full near-dup pipeline (exact + MinHash/LSH + name scoring +\n"
+                "substring + CC clustering) on the deterministic synthetic\n"
+                f"documents table ({docs} docs, seed=42), same input at two\n"
+                "parallelism levels (the sandbox stand-in for N vs 4N executor\n"
+                "clusters per the driver instruction).\n\n"
+                "| parallelism | wall (s) | docs/sec |\n|---|---|---|\n"
+                f"| local[8]  | {t8:.2f} | {thr8:.0f} |\n"
+                f"| local[32] | {t32:.2f} | {thr32:.0f} |\n\n"
+                f"**Scaling efficiency** = T_8 / (4 x T_32) = {eff:.3f} "
+                f"(target >= 0.8)\n\n"
+                f"Headline dedup throughput (local[32]): **{thr32:.0f} docs/sec**\n"
+            )
+        print(json.dumps({"efficiency": round(eff, 3),
+                          "docs_per_sec_local32": round(thr32, 1)}))
+        return
+
+    spark = _spark(CPUS)
+    queries: dict[str, float] = {}
+    t0 = time.monotonic()
+    dedup_wall, n_docs = run_dedup_timed(spark, BENCH_DOCS)
+    queries["dedup_pipeline"] = round(dedup_wall, 3)
+    queries.update(headline(spark))
+    total = round(time.monotonic() - t0, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": _sf_of(SF_DIR),
+                "dedup_docs": n_docs,
+                "dedup_docs_per_sec": round(n_docs / dedup_wall, 1),
+                "cores": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

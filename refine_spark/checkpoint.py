@@ -53,7 +53,9 @@ class StageRunner:
             df.write.mode("overwrite").parquet(self._path(stage))
             out = self.spark.read.parquet(self._path(stage))
         else:
-            out = df.localCheckpoint() if cache else df
+            # no persistent checkpoint: still cut lineage eagerly so later
+            # stages never recompute this one (each stage runs exactly once)
+            out = df.localCheckpoint(eager=True)
         rows = out.count()
         self.metrics.append(
             {"stage": stage, "rows": rows, "partitions": out.rdd.getNumPartitions(),

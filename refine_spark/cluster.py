@@ -42,37 +42,34 @@ def connected_components(
     sym = edges.select(
         F.col("src").alias("a"), F.col("dst").alias("b")
     ).union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
-    sym = sym.dropDuplicates(["a", "b"]).localCheckpoint()
+    sym = sym.dropDuplicates(["a", "b"]).localCheckpoint(eager=True)
 
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=True)
     )
 
     for _ in range(max_iter):
-        # propagate: each vertex learns its neighbors' labels
+        # propagate: each vertex learns its neighbors' labels; the vertex's
+        # own row is marked so the aggregation yields (new_label, old_label)
+        # in ONE pass — no separate convergence join
         msgs = sym.join(labels, sym.b == labels.id).select(
-            F.col("a").alias("id"), F.col("label")
+            F.col("a").alias("id"), F.col("label"), F.lit(None).cast("string").alias("own")
         )
-        candidates = msgs.union(labels.select("id", "label"))
+        own = labels.select("id", "label", F.col("label").alias("own"))
+        candidates = msgs.union(own)
         # two-stage salted min to tame hub-vertex skew
         new_labels = (
             candidates.withColumn("salt", F.pmod(F.xxhash64("label"), F.lit(salt_buckets)))
             .groupBy("id", "salt")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.min("own").alias("own"))
             .groupBy("id")
-            .agg(F.min("label").alias("label"))
-        ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+            .agg(F.min("label").alias("label"), F.min("own").alias("own"))
+        ).localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("label") != F.col("own")).limit(1).count()
+        labels = new_labels.select("id", "label")
         if changed == 0:
             break
 

@@ -11,28 +11,48 @@ runs JVM-side inside ORDER BY (no custom collation, no UDF):
   - a text run encodes as '1' + lowercased text (digits sort before text
     because of the '0'/'1' markers — natural.rs:19-21)
 
-The same construction is expressible in DuckDB SQL (list_transform),
-which the operator oracle uses.
+The same construction is expressible in DuckDB SQL (regexp_extract_all +
+list_transform), which the operator oracle uses — the chunker and the
+zero-strip deliberately avoid lookarounds so the pattern runs under both
+Java regex (Spark) and RE2 (DuckDB).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-_SPLIT_RE = r"(?<=\d)(?=\D)|(?<=\D)(?=\d)"
+_CHUNK_RE = r"[0-9]+|[^0-9]+"
 
 
 def natural_key(col: Column) -> Column:
-    chunks = F.split(col, _SPLIT_RE)
+    chunks = F.regexp_extract_all(col, F.lit(_CHUNK_RE), 0)
+    stripped = lambda c: F.coalesce(  # noqa: E731  strip leading zeros, keep "0"
+        F.nullif(F.regexp_replace(c, "^0+", ""), F.lit("")), F.lit("0")
+    )
     encode = lambda c: F.when(  # noqa: E731
         c.rlike("^[0-9]"),
         F.concat(
             F.lit("0"),
-            F.lpad(F.regexp_replace(c, "^0+(?=.)", ""), 20, "0"),
+            F.lpad(stripped(c), 20, "0"),
             F.lpad(F.length(c).cast("string"), 4, "0"),
         ),
     ).otherwise(F.concat(F.lit("1"), F.lower(c)))
     return F.array_join(F.transform(chunks, encode), "")
+
+
+# DuckDB rendering of the same key, used by the operator oracle
+# (__spark_entry__.oracle_sql). Keep in sync with natural_key().
+NATURAL_KEY_DUCKDB = """
+list_aggregate(
+  list_transform(
+    regexp_extract_all({col}, '[0-9]+|[^0-9]+'),
+    c -> CASE WHEN regexp_matches(c, '^[0-9]')
+      THEN '0' || lpad(CASE WHEN ltrim(c, '0') = '' THEN '0'
+                            ELSE ltrim(c, '0') END, 20, '0')
+               || lpad(CAST(length(c) AS VARCHAR), 4, '0')
+      ELSE '1' || lower(c) END),
+  'string_agg', '')
+""".strip()
 
 
 def natural_sorted(df: DataFrame, col_name: str) -> DataFrame:

@@ -124,20 +124,58 @@ def token_weights(named: DataFrame) -> DataFrame:
     return tokw
 
 
+def _rare_jvm(cfg: DedupConfig):
+    """rare_token_similarity as pure Catalyst higher-order expressions
+    (token arrays are distinct; weights aligned). Bit-for-bit the same
+    math as _rare_token_sim / the reference (dupes.rs:408-457)."""
+    ssum = lambda ws: F.aggregate(ws, F.lit(0.0), lambda acc, x: acc + x)  # noqa: E731
+    a_score = ssum(F.col("ws_a"))
+    b_score = ssum(F.col("ws_b"))
+    inter = F.array_intersect("toks_a", "toks_b")
+    map_a = F.map_from_arrays("toks_a", "ws_a")
+    inter_score = F.aggregate(inter, F.lit(0.0), lambda acc, t: acc + map_a[t])
+    subset = (F.size(F.array_except("toks_a", "toks_b")) == 0) | (
+        F.size(F.array_except("toks_b", "toks_a")) == 0
+    )
+    union_score = a_score + b_score - inter_score
+    base = F.when(subset, inter_score / F.least(a_score, b_score)).otherwise(
+        F.when(
+            union_score == 0.0,
+            F.when(inter_score > 0.0, F.lit(1.0)).otherwise(F.lit(0.0)),
+        ).otherwise(inter_score / union_score)
+    )
+    la = F.size("toks_a").cast("double")
+    lb = F.size("toks_b").cast("double")
+    ratio = F.least(la, lb) / F.greatest(la, lb)
+    exponent = F.when(F.size(inter) <= 1, F.lit(cfg.penalty_exp_few)).otherwise(
+        F.lit(cfg.penalty_exp_many)
+    )
+    rare = base * F.pow(ratio, exponent)
+    return F.when((a_score == 0.0) | (b_score == 0.0), F.lit(0.0)).otherwise(rare)
+
+
 def score_name_pairs(
     pairs: DataFrame, named: DataFrame, cfg: DedupConfig = DEFAULT
 ) -> DataFrame:
     """Score candidate pairs; emit qualifying edges (src, dst, sim, 'name').
 
-    `named` needs (url, cleaned_name, tokens, kind). Cheap filters (kind
-    equality, shared non-numeric token) run BEFORE the pUDF scoring —
-    the reference's short-circuit ordering (dupes.rs:263-269), encoded
-    manually because CBO won't reorder across a Python UDF (SURVEY.md §4).
+    `named` needs (url, cleaned_name, tokens, kind).
+
+    Plan shape (the reference's short-circuit ordering, dupes.rs:263-269,
+    encoded manually because CBO won't reorder across a Python UDF):
+      1. cheap JVM filters: kind equality, shared non-numeric token
+      2. JVM scoring: builtin levenshtein + rare-token similarity as
+         higher-order expressions (whole-stage codegen, no Python)
+      3. decide WITHOUT dice where possible: a pair passes outright when
+         lev*0.4 + rare*0.6 >= t, and can never pass when
+         0.4 + rare*0.6 < t (dice <= 1) — only the narrow middle band
+         pays the bigram-multiset dice pandas UDF.
     """
-    dice_udf, rare_udf = make_pair_score_udf(cfg)
+    dice_udf, _ = make_pair_score_udf(cfg)
+    # materialize once: the side table feeds BOTH ends of the pair join
     side = named.select("url", "cleaned_name", "tokens", "kind").join(
         token_weights(named), "url"
-    )
+    ).localCheckpoint(eager=True)
     a = side.select(*[F.col(c).alias(f"{c}_a") for c in side.columns])
     b = side.select(*[F.col(c).alias(f"{c}_b") for c in side.columns])
     joined = (
@@ -154,13 +192,22 @@ def score_name_pairs(
     lev_norm = F.lit(1.0) - F.levenshtein("cleaned_name_a", "cleaned_name_b") / F.greatest(
         F.length("cleaned_name_a"), F.length("cleaned_name_b"), F.lit(1)
     )
-    scored = joined.withColumn(
-        "sim",
-        F.greatest(lev_norm, dice_udf(F.col("cleaned_name_a"), F.col("cleaned_name_b")))
-        * cfg.string_weight
-        + rare_udf(F.col("toks_a"), F.col("ws_a"), F.col("toks_b"), F.col("ws_b"))
-        * cfg.rare_token_weight,
+    sw, rw, t = cfg.string_weight, cfg.rare_token_weight, cfg.threshold
+    scored = joined.withColumn("rare", _rare_jvm(cfg)).withColumn("lev", lev_norm)
+    # prune with the dice-free bound (dice <= 1): only survivors — passing
+    # pairs plus the narrow undecided band — pay the dice pandas UDF, and
+    # the final sim always includes dice (reference value semantics,
+    # max(lev, dice)). Materialize the pruned band: it is tiny, and
+    # cutting the plan here stops Catalyst re-evaluating the interpreted
+    # higher-order `rare` expression in both the Filter and the Project.
+    candidates = scored.filter(
+        F.lit(1.0) * sw + F.col("rare") * rw >= t
+    ).localCheckpoint(eager=True)
+    final = candidates.withColumn(
+        "dice", dice_udf(F.col("cleaned_name_a"), F.col("cleaned_name_b"))
+    ).withColumn(
+        "sim", F.greatest(F.col("lev"), F.col("dice")) * sw + F.col("rare") * rw
     )
-    return scored.filter(F.col("sim") >= cfg.threshold).select(
+    return final.filter(F.col("sim") >= t).select(
         F.col("src"), F.col("dst"), F.col("sim"), F.lit("name").alias("pass_name")
     )

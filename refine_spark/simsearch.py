@@ -1,0 +1,187 @@
+"""Embedding similarity search: brute-force cosine top-k + LSH buckets.
+
+Extensions beyond the reference (per the build brief). Two paths:
+
+  brute-force  exact cosine over every (query, corpus) pair — JVM-side
+               zip_with/aggregate expressions, correct baseline; cost
+               O(Q x N), fine when Q is small or N fits a broadcast.
+  lsh-bucketed random-hyperplane signatures bucket the corpus so each
+               query only scores its bucket (+ optional multi-probe) —
+               the scale path: candidate generation is an equi-join on
+               the bucket key, exactly like the MinHash band join.
+
+Signatures are computed in one vectorized pandas UDF (numpy matmul over
+Arrow batches); scoring stays in JVM expressions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+from .config import DedupConfig, DEFAULT
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _broadcast_matrix(df: DataFrame, id_col: str, vec_col: str):
+    """Collect the SMALL side to a normalized numpy matrix and broadcast it.
+
+    Only ever called on the side that is small by construction (the query
+    set, or a corpus that fits one executor); the big side streams through
+    mapInPandas and never shuffles."""
+    pdf = df.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    return ids, mat
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query. Returns (query_id, vec_id, rank).
+
+    The query side is broadcast as one normalized matrix; each corpus
+    partition computes a BLAS block-matmul against it (numpy over Arrow
+    batches) and emits only its local candidates; a final window takes the
+    global top-k. One scan of the corpus, one tiny shuffle of candidates."""
+    from pyspark.sql import Window as W
+
+    spark = corpus.sparkSession
+    q_ids, q_mat = _broadcast_matrix(queries, id_col, vec_col)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def score(batches):
+        ids_q, mat_q = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            c_mat /= np.maximum(np.linalg.norm(c_mat, axis=1, keepdims=True), 1e-12)
+            sims = c_mat @ mat_q.T  # (batch, n_queries)
+            c_ids = pdf[id_col].to_numpy()
+            out_q, out_c, out_s = [], [], []
+            for j in range(len(ids_q)):
+                col = np.where(c_ids == ids_q[j], -np.inf, sims[:, j])
+                take = min(k, int(np.isfinite(col).sum()))
+                cand = np.argsort(-col)[:take]
+                out_q.extend([ids_q[j]] * take)
+                out_c.extend(c_ids[cand])
+                out_s.extend(col[cand])
+            yield pd.DataFrame(
+                {"query_id": out_q, id_col: out_c, "cos": out_s}
+            )
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        score, f"query_id long, {id_col} long, cos double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.col(id_col))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "rank")
+    )
+
+
+def make_hyperplane_udf(dim: int, n_planes: int = 16, cfg: DedupConfig = DEFAULT):
+    rng = np.random.RandomState(cfg.seed + 1)
+    planes = rng.standard_normal((dim, n_planes)).astype(np.float64)
+
+    @F.pandas_udf(T.LongType())
+    def bucket_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())  # (batch, dim)
+        bits = (mat @ planes) > 0  # (batch, n_planes)
+        weights = (1 << np.arange(n_planes, dtype=np.int64))
+        return pd.Series((bits.astype(np.int64) * weights).sum(axis=1))
+
+    return bucket_udf
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cfg: DedupConfig = DEFAULT,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane bucket equi-join, then exact
+    cosine rerank within the bucket. Recall rises with fewer planes
+    (bigger buckets) — callers trade cost for recall."""
+    from pyspark.sql import Window as W
+
+    bucket = make_hyperplane_udf(dim, n_planes, cfg)
+    c = corpus.select(id_col, vec_col).withColumn("bucket", bucket(F.col(vec_col)))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).withColumn("bucket", bucket(F.col("qvec")))
+    joined = c.join(q, "bucket").filter(F.col("query_id") != F.col(id_col))
+    scored = joined.withColumn("cos", cosine(F.col("qvec"), F.col(vec_col)))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "rank")
+    )
+
+
+def cosine_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    cfg: DedupConfig = DEFAULT,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= t).
+
+    Exact path: one side broadcast as a normalized matrix, the other side
+    block-matmuls per partition (no O(N^2)-row shuffle, no interpreted
+    per-element expression). At a corpus too big to broadcast, swap in the
+    hyperplane-bucket join (lsh_topk's machinery) — multi-probe/repeat to
+    push recall."""
+    spark = embeddings.sparkSession
+    b_ids, b_mat = _broadcast_matrix(embeddings, id_col, vec_col)
+    bc = spark.sparkContext.broadcast((b_ids, b_mat))
+
+    def find(batches):
+        ids_b, mat_b = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a_mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            a_mat /= np.maximum(np.linalg.norm(a_mat, axis=1, keepdims=True), 1e-12)
+            sims = a_mat @ mat_b.T
+            a_ids = pdf[id_col].to_numpy()
+            ii, jj = np.nonzero(sims >= threshold)
+            keep = a_ids[ii] < ids_b[jj]
+            yield pd.DataFrame(
+                {"id_a": a_ids[ii][keep], "id_b": ids_b[jj][keep]}
+            )
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        find, "id_a long, id_b long"
+    )

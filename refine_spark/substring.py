@@ -88,10 +88,16 @@ def substring_edges(docs: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
             if not x or not y:
                 out.append(0.0)
                 continue
+            shorter = min(len(x), len(y))
+            # fast paths: identical / containment pairs (the bulk — exact
+            # dups trivially share every substring) skip the O(n^2) matcher
+            if x == y or (shorter >= min_len and (x in y or y in x)):
+                out.append(1.0 if shorter >= min_len else 0.0)
+                continue
             m = SequenceMatcher(None, x, y, autojunk=False).find_longest_match(
                 0, len(x), 0, len(y)
             )
-            out.append(m.size / max(1, min(len(x), len(y))) if m.size >= min_len else 0.0)
+            out.append(m.size / max(1, shorter) if m.size >= min_len else 0.0)
         return pd.Series(out, dtype="float64")
 
     verified = joined.withColumn("sim", lcs_ratio(F.col("text_a"), F.col("text_b")))

@@ -56,9 +56,12 @@ def _sha256(text: str) -> str:
 
 
 class _Builder:
-    def __init__(self, cfg: DedupConfig) -> None:
+    def __init__(self, cfg: DedupConfig, n_docs: int = 1000) -> None:
         self.rng = random.Random(cfg.seed)
-        self.vocab = _make_vocab(self.rng)
+        # vocabulary grows with corpus size (Heaps'-law-ish) so token
+        # document frequency — and with it candidate-pair volume — stays
+        # near-linear in n_docs instead of quadratic
+        self.vocab = _make_vocab(self.rng, max(400, n_docs // 10))
         self.hot_tokens = self.vocab[:8]
         self.hosts = [f"site{i:02d}.example.org" for i in range(20)]
         self.hot_host = "hot.example.com"
@@ -214,7 +217,7 @@ def gen_documents(
     n_docs: int = 1000, cfg: DedupConfig = DEFAULT
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Generate (documents, expected_clusters) pandas frames, deterministic in cfg.seed."""
-    b = _Builder(cfg)
+    b = _Builder(cfg, n_docs)
     total = 0
     # family mix: weights approximate FIXTURES.md guidance
     makers = [
