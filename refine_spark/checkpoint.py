@@ -24,6 +24,11 @@ class StageRunner:
     spark: SparkSession
     root: str | None = None  # checkpoint dir; None disables persistence
     metrics: list[dict] = field(default_factory=list)
+    # lazy=True skips per-stage materialization + row counts for stages
+    # whose output feeds exactly one consumer — used by the bench path
+    # where stage barriers cost more than they observe. Stages marked
+    # reused=True still cut lineage.
+    lazy: bool = False
 
     def _path(self, stage: str) -> str:
         assert self.root
@@ -34,11 +39,12 @@ class StageRunner:
             os.path.join(self._path(stage), "_SUCCESS")
         )
 
-    def run(self, stage: str, build, cache: bool = False) -> DataFrame:
+    def run(self, stage: str, build, reused: bool = False) -> DataFrame:
         """Materialize `build()` under `stage`, or resume from checkpoint.
 
         With no checkpoint root the stage still runs and records metrics
-        (row counts force evaluation, keeping stage boundaries real).
+        (row counts force evaluation, keeping stage boundaries real) —
+        unless lazy mode is on and the stage isn't `reused`.
         """
         t0 = time.monotonic()
         if self._complete(stage):
@@ -52,6 +58,12 @@ class StageRunner:
         if self.root is not None:
             df.write.mode("overwrite").parquet(self._path(stage))
             out = self.spark.read.parquet(self._path(stage))
+        elif self.lazy and not reused:
+            self.metrics.append(
+                {"stage": stage, "rows": -1, "partitions": -1,
+                 "wall_sec": round(time.monotonic() - t0, 3), "extra": "lazy"}
+            )
+            return df
         else:
             # no persistent checkpoint: still cut lineage eagerly so later
             # stages never recompute this one (each stage runs exactly once)

@@ -14,7 +14,7 @@ aligned with the reference's 0.7 similarity threshold.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)

@@ -24,6 +24,14 @@ from pyspark.sql import Column, DataFrame, functions as F
 _CHUNK_RE = r"[0-9]+|[^0-9]+"
 
 
+# chunk markers: \x01 for digit runs, \x02 for text runs. A digit run must
+# beat ANY text character at a chunk boundary (natural.rs:19-21 and the
+# boundary arms of compare_text_chunks, natural.rs:94-105), so the digit
+# marker sorts below every printable char — a '0'/'1' marker pair would
+# lose to '.', '-', ' ' etc.
+_D_MARK, _T_MARK = "\x01", "\x02"
+
+
 def natural_key(col: Column) -> Column:
     chunks = F.regexp_extract_all(col, F.lit(_CHUNK_RE), 0)
     stripped = lambda c: F.coalesce(  # noqa: E731  strip leading zeros, keep "0"
@@ -32,11 +40,11 @@ def natural_key(col: Column) -> Column:
     encode = lambda c: F.when(  # noqa: E731
         c.rlike("^[0-9]"),
         F.concat(
-            F.lit("0"),
+            F.lit(_D_MARK),
             F.lpad(stripped(c), 20, "0"),
             F.lpad(F.length(c).cast("string"), 4, "0"),
         ),
-    ).otherwise(F.concat(F.lit("1"), F.lower(c)))
+    ).otherwise(F.concat(F.lit(_T_MARK), F.lower(c)))
     return F.array_join(F.transform(chunks, encode), "")
 
 
@@ -47,10 +55,10 @@ list_aggregate(
   list_transform(
     regexp_extract_all({col}, '[0-9]+|[^0-9]+'),
     c -> CASE WHEN regexp_matches(c, '^[0-9]')
-      THEN '0' || lpad(CASE WHEN ltrim(c, '0') = '' THEN '0'
-                            ELSE ltrim(c, '0') END, 20, '0')
-               || lpad(CAST(length(c) AS VARCHAR), 4, '0')
-      ELSE '1' || lower(c) END),
+      THEN chr(1) || lpad(CASE WHEN ltrim(c, '0') = '' THEN '0'
+                               ELSE ltrim(c, '0') END, 20, '0')
+                  || lpad(CAST(length(c) AS VARCHAR), 4, '0')
+      ELSE chr(2) || lower(c) END),
   'string_agg', '')
 """.strip()
 

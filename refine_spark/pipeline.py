@@ -19,7 +19,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from . import schema
 from .candidates import lsh_candidates, token_block_candidates
 from .clean import with_cleaned_name
 from .cluster import cluster_stats, connected_components, name_pass_clusters
@@ -69,9 +68,15 @@ def run_dedup(
     cfg: DedupConfig = DEFAULT,
     checkpoint_dir: str | None = None,
     passes: tuple[str, ...] = ("exact", "text", "name", "substring"),
+    lazy: bool = False,
 ) -> dict:
-    """Run the full pipeline; returns dict with clusters/edges/metrics."""
-    runner = StageRunner(spark, checkpoint_dir)
+    """Run the full pipeline; returns dict with clusters/edges/metrics.
+
+    lazy=True (bench path): only reused intermediates materialize; the
+    four edge passes evaluate together inside the union's single job —
+    fewer barriers, better cluster utilization. Default keeps one
+    materialization + metrics row per stage (the resumable shape)."""
+    runner = StageRunner(spark, checkpoint_dir, lazy=lazy)
 
     base = prepare(docs, cfg).localCheckpoint()
 
@@ -85,6 +90,7 @@ def run_dedup(
         signed = runner.run(
             "signatures",
             lambda: with_signatures(base.select("url", "text"), cfg),
+            reused=True,  # feeds band explode AND both sides of the verify join
         )
         edge_frames.append(runner.run("text_edges", lambda: minhash_edges(signed, cfg)))
 
@@ -93,6 +99,7 @@ def run_dedup(
         raw_name_edges = runner.run(
             "name_edges_raw",
             lambda: score_name_pairs(token_block_candidates(named, cfg), named, cfg),
+            reused=True,  # feeds name CC and the surviving-edge semi-join
         )
         name_clusters, surviving = name_pass_clusters(raw_name_edges, named, cfg)
         surviving = runner.run("name_edges", lambda: surviving)
@@ -106,7 +113,7 @@ def run_dedup(
     all_edges = edge_frames[0]
     for e in edge_frames[1:]:
         all_edges = all_edges.unionByName(e)
-    all_edges = runner.run("edges", lambda: all_edges)
+    all_edges = runner.run("edges", lambda: all_edges, reused=True)
 
     labels = connected_components(all_edges, salt_buckets=cfg.salt_buckets)
     stats = cluster_stats(all_edges, labels)

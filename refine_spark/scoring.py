@@ -172,8 +172,12 @@ def score_name_pairs(
          pays the bigram-multiset dice pandas UDF.
     """
     dice_udf, _ = make_pair_score_udf(cfg)
-    # materialize once: the side table feeds BOTH ends of the pair join
-    side = named.select("url", "cleaned_name", "tokens", "kind").join(
+    sw, rw, t = cfg.string_weight, cfg.rare_token_weight, cfg.threshold
+    # The candidate-pair table is huge (every token-block pair), so the
+    # big join carries only the MINIMAL payload per side: kind + distinct
+    # tokens + weights. Names attach after the prune (the pruned band is
+    # tiny), halving the dominant shuffle's bytes.
+    side = named.select("url", "kind").join(
         token_weights(named), "url"
     ).localCheckpoint(eager=True)
     a = side.select(*[F.col(c).alias(f"{c}_a") for c in side.columns])
@@ -183,28 +187,35 @@ def score_name_pairs(
         .join(b, pairs.dst == b.url_b)
         .filter(F.col("kind_a") == F.col("kind_b"))
         .filter(
+            # >=1 shared non-numeric token (dupes.rs:263-269; the
+            # reference qualifies on token SETS, so distinct toks suffice)
             F.exists(
-                F.array_intersect("tokens_a", "tokens_b"),
-                lambda t: t.rlike("[^0-9]"),
+                F.array_intersect("toks_a", "toks_b"),
+                lambda tok: tok.rlike("[^0-9]"),
             )
         )
     )
-    lev_norm = F.lit(1.0) - F.levenshtein("cleaned_name_a", "cleaned_name_b") / F.greatest(
-        F.length("cleaned_name_a"), F.length("cleaned_name_b"), F.lit(1)
-    )
-    sw, rw, t = cfg.string_weight, cfg.rare_token_weight, cfg.threshold
-    scored = joined.withColumn("rare", _rare_jvm(cfg)).withColumn("lev", lev_norm)
-    # prune with the dice-free bound (dice <= 1): only survivors — passing
-    # pairs plus the narrow undecided band — pay the dice pandas UDF, and
-    # the final sim always includes dice (reference value semantics,
-    # max(lev, dice)). Materialize the pruned band: it is tiny, and
-    # cutting the plan here stops Catalyst re-evaluating the interpreted
-    # higher-order `rare` expression in both the Filter and the Project.
-    candidates = scored.filter(
+    scored = joined.withColumn("rare", _rare_jvm(cfg))
+    # prune with the dice-free bound (lev <= 1, dice <= 1): only survivors
+    # — passing pairs plus the narrow undecided band — continue. The
+    # materialization also stops Catalyst re-evaluating the interpreted
+    # higher-order `rare` expression in both a Filter and a Project.
+    candidates = scored.select("src", "dst", "rare").filter(
         F.lit(1.0) * sw + F.col("rare") * rw >= t
     ).localCheckpoint(eager=True)
-    final = candidates.withColumn(
-        "dice", dice_udf(F.col("cleaned_name_a"), F.col("cleaned_name_b"))
+    # attach names only now; spread the (byte-small) band across the
+    # cluster before the Python dice stage — AQE's size-based coalescing
+    # would serialize it (explicit numPartitions is never coalesced)
+    names = named.select("url", "cleaned_name")
+    na = names.select(F.col("url").alias("src"), F.col("cleaned_name").alias("name_a"))
+    nb = names.select(F.col("url").alias("dst"), F.col("cleaned_name").alias("name_b"))
+    parallelism = pairs.sparkSession.sparkContext.defaultParallelism
+    withnames = candidates.join(na, "src").join(nb, "dst").repartition(parallelism)
+    lev_norm = F.lit(1.0) - F.levenshtein("name_a", "name_b") / F.greatest(
+        F.length("name_a"), F.length("name_b"), F.lit(1)
+    )
+    final = withnames.withColumn("lev", lev_norm).withColumn(
+        "dice", dice_udf(F.col("name_a"), F.col("name_b"))
     ).withColumn(
         "sim", F.greatest(F.col("lev"), F.col("dice")) * sw + F.col("rare") * rw
     )

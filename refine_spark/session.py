@@ -27,6 +27,14 @@ def get_spark(
         n = os.cpu_count() or 8 if cores in ("*",) else int(cores)
         shuffle_partitions = max(8, int(n))
 
+    # local-mode shuffle goes through spark.local.dir; on this box the
+    # disk is the scaling bottleneck (32 concurrent shuffle writers
+    # thrash it) while RAM is plentiful — prefer tmpfs when present.
+    # On a real cluster this knob is the node-local SSD array.
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -40,6 +48,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

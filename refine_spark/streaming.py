@@ -1,0 +1,150 @@
+"""Incremental / streaming ingestion for the dedup pipeline.
+
+The reference is strictly batch (SURVEY.md §2.9) — its ctrl-c partial
+results map to checkpoint/resume, not streams. This module is the
+extension a production crawl pipeline needs: documents arrive
+continuously and must dedup against the already-indexed corpus without
+recomputing it.
+
+Design (Structured Streaming, foreachBatch):
+  - the corpus index is two compact tables: (sample_key -> rep url) for
+    exact dups and (band, band_key -> rep url) for MinHash/LSH — both
+    partitioned by key, so each micro-batch joins against only the
+    matching partitions.
+  - each micro-batch: compute the batch's sample hashes + signatures
+    (same kernels as batch mode), join the indexes, emit assignments for
+    matched docs, and append the unmatched docs' keys to the indexes.
+  - watermarking/state: matching is pure join-on-key, so no
+    applyInPandasWithState is required; dedup state lives in the index
+    tables (restart-safe, exactly the pipeline's checkpoint story).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .config import DedupConfig, DEFAULT
+from .exact import three_point_sample, with_size_kind
+from .candidates import lsh_band_keys
+from .signatures import with_signatures
+
+
+def exact_index(docs: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
+    """(sample_key, rep) index: one representative url per exact-content key."""
+    keyed = with_size_kind(docs).withColumn(
+        "sample_key",
+        F.concat_ws(
+            "|",
+            F.col("size"),
+            F.col("kind"),
+            F.sha2(three_point_sample(F.col("html"), cfg.sample_kb * 1024), 256),
+        ),
+    )
+    return keyed.groupBy("sample_key").agg(F.min("url").alias("rep"))
+
+
+def lsh_index(docs: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
+    """(band, band_key, rep) index over MinHash bands."""
+    signed = with_signatures(docs.select("url", "text"), cfg)
+    banded = lsh_band_keys(signed, cfg)
+    return banded.groupBy("band", "band_key").agg(F.min("url").alias("rep"))
+
+
+def match_batch(
+    batch: DataFrame,
+    exact_idx: DataFrame,
+    lsh_idx: DataFrame,
+    cfg: DedupConfig = DEFAULT,
+) -> DataFrame:
+    """Assign each incoming doc to an existing representative if any index
+    matches; null rep = novel document. Exact match wins over LSH."""
+    keyed = with_size_kind(batch).withColumn(
+        "sample_key",
+        F.concat_ws(
+            "|",
+            F.col("size"),
+            F.col("kind"),
+            F.sha2(three_point_sample(F.col("html"), cfg.sample_kb * 1024), 256),
+        ),
+    )
+    e = keyed.join(
+        exact_idx.withColumnRenamed("rep", "exact_rep"), "sample_key", "left"
+    )
+    signed = with_signatures(e.select("url", "text"), cfg)
+    banded = lsh_band_keys(signed, cfg)
+    lsh_match = (
+        banded.join(lsh_idx.withColumnRenamed("rep", "lsh_rep"), ["band", "band_key"])
+        .groupBy("url")
+        .agg(F.min("lsh_rep").alias("lsh_rep"))
+    )
+    return (
+        e.select("url", "exact_rep")
+        .join(lsh_match, "url", "left")
+        .withColumn("rep", F.coalesce("exact_rep", "lsh_rep"))
+        .select("url", "rep")
+    )
+
+
+def run_incremental_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    cfg: DedupConfig = DEFAULT,
+    schema=None,
+):
+    """readStream over a parquet drop directory; per micro-batch match +
+    index update via foreachBatch. Returns the StreamingQuery.
+
+    State tables live under state_dir/{exact,lsh}; the streaming
+    checkpoint under state_dir/_checkpoint makes restarts exactly-once.
+    """
+    from . import schema as schemas
+
+    schema = schema or schemas.DOCUMENTS
+    exact_path = os.path.join(state_dir, "exact")
+    lsh_path = os.path.join(state_dir, "lsh")
+    out_path = os.path.join(state_dir, "assignments")
+
+    def _load(path: str, ddl: str) -> DataFrame:
+        if os.path.exists(path):
+            return spark.read.parquet(path)
+        return spark.createDataFrame([], ddl)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.dropDuplicates(["url"]).localCheckpoint(eager=True)
+        exact_idx = _load(exact_path, "sample_key string, rep string")
+        lsh_idx = _load(lsh_path, "band int, band_key long, rep string")
+        matched = match_batch(batch, exact_idx, lsh_idx, cfg).localCheckpoint(
+            eager=True
+        )
+        matched.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            out_path
+        )
+        novel = batch.join(
+            matched.filter(F.col("rep").isNotNull()).select("url"), "url", "left_anti"
+        ).localCheckpoint(eager=True)
+        if novel.isEmpty():
+            return
+        exact_index(novel, cfg).unionByName(exact_idx).groupBy("sample_key").agg(
+            F.min("rep").alias("rep")
+        ).write.mode("overwrite").parquet(exact_path + ".new")
+        lsh_index(novel, cfg).unionByName(lsh_idx).groupBy("band", "band_key").agg(
+            F.min("rep").alias("rep")
+        ).write.mode("overwrite").parquet(lsh_path + ".new")
+        for p in (exact_path, lsh_path):
+            import shutil
+
+            if os.path.exists(p):
+                shutil.rmtree(p)
+            os.rename(p + ".new", p)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(input_dir)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", os.path.join(state_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+    )
+    return stream.start()

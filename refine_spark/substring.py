@@ -75,7 +75,12 @@ def substring_edges(docs: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
     texts = docs.select("url", "text")
     a = texts.select(F.col("url").alias("src"), F.col("text").alias("text_a"))
     b = texts.select(F.col("url").alias("dst"), F.col("text").alias("text_b"))
-    joined = pairs.join(a, "src").join(b, "dst")
+    # candidate pairs are byte-small, so AQE coalesces them to ~1 partition
+    # — which would serialize the CPU-heavy LCS verify. Spread the joined
+    # rows across the cluster as the LAST shuffle before the Python stage
+    # (an explicit numPartitions repartition is never coalesced by AQE).
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    joined = pairs.join(a, "src").join(b, "dst").repartition(parallelism)
 
     min_len = cfg.min_substring
 

@@ -1,0 +1,79 @@
+"""Apply-layer + incremental streaming dedup tests."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from refine_spark import synth
+from refine_spark.apply import apply_rename_plan, atomic_overwrite, quarantine_split
+from refine_spark.streaming import run_incremental_dedup
+
+
+def test_apply_rename_plan(spark):
+    docs = spark.createDataFrame(
+        [("http://h/d/a.txt", 1), ("http://h/d/b.txt", 2), ("http://h/d/c.txt", 3)],
+        "url string, v int",
+    )
+    plan = spark.createDataFrame(
+        [
+            ("http://h/d/a.txt", "a2.txt", True, False),   # clean rename
+            ("http://h/d/b.txt", "c.txt", True, False),    # conflicts with kept c.txt
+            ("http://h/d/c.txt", None, False, False),      # unchanged
+        ],
+        "url string, new_name string, changed boolean, blocked boolean",
+    )
+    out = {r["v"]: r for r in apply_rename_plan(docs, plan).collect()}
+    assert out[1]["url"] == "http://h/d/a2.txt" and not out[1]["conflict"]
+    assert out[2]["url"] == "http://h/d/b.txt" and out[2]["conflict"]
+    assert out[3]["url"] == "http://h/d/c.txt"
+
+
+def test_atomic_overwrite_and_quarantine(spark, tmp_path):
+    table = str(tmp_path / "tbl")
+    df1 = spark.range(5).withColumn("x", F.lit("v1"))
+    atomic_overwrite(df1, table)
+    assert spark.read.parquet(table).count() == 5
+    df2 = spark.range(9).withColumn("x", F.lit("v2"))
+    atomic_overwrite(df2, table)
+    assert spark.read.parquet(table).count() == 9
+    assert os.path.exists(table + ".prev")  # previous snapshot retained
+
+    ok, bad = quarantine_split(
+        df2, F.col("id") < 7, quarantine_dir=str(tmp_path / "quar")
+    )
+    assert ok.count() == 7 and bad.count() == 2
+    assert spark.read.parquet(str(tmp_path / "quar")).count() == 2
+
+
+def test_incremental_dedup_two_batches(spark, tmp_path):
+    docs, _ = synth.gen_documents(120)
+    half = len(docs) // 2
+    in_dir = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    os.makedirs(in_dir)
+
+    from refine_spark import schema
+
+    first = spark.createDataFrame(docs.iloc[:half], schema=schema.DOCUMENTS)
+    first.write.mode("overwrite").parquet(os.path.join(in_dir, "batch1"))
+
+    q = run_incremental_dedup(spark, in_dir + "/*", state)
+    q.awaitTermination(120)
+
+    # second batch re-sends some earlier docs (same url space new urls? use
+    # exact text copies) -> they must match existing reps, not create new
+    dup_batch = docs.iloc[:20].copy()
+    dup_batch["url"] = dup_batch["url"] + "?repost=1"
+    second = spark.createDataFrame(dup_batch, schema=schema.DOCUMENTS)
+    second.write.mode("append").parquet(os.path.join(in_dir, "batch2"))
+
+    q2 = run_incremental_dedup(spark, in_dir + "/*", state)
+    q2.awaitTermination(120)
+
+    assigns = spark.read.parquet(os.path.join(state, "assignments"))
+    reposts = assigns.filter(F.col("url").contains("repost=1"))
+    n_matched = reposts.filter(F.col("rep").isNotNull()).count()
+    assert reposts.count() == 20
+    assert n_matched == 20, f"only {n_matched}/20 reposted docs matched the index"

@@ -5,7 +5,6 @@ from __future__ import annotations
 from datetime import datetime, timezone
 
 import pandas as pd
-from pyspark.sql import functions as F
 
 from refine_spark.listing import dir_totals, list_plan
 from refine_spark.probe import deduped_names, probe_names

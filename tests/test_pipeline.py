@@ -29,6 +29,27 @@ def test_full_pipeline_recall_and_exclusions(spark, tmp_path):
     assert {"exact_edges", "text_edges", "name_edges", "substring_edges", "clusters"} <= stages
 
 
+def test_distributed_cc_matches_driver_path(spark):
+    # force the iterative min-label loop (cutover=0) and compare with the
+    # driver union-find on the same edge set
+    from refine_spark.cluster import connected_components
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e"), ("f", "g"), ("g", "a")],
+        "src string, dst string",
+    ).withColumn("sim", F.lit(1.0)).withColumn("pass_name", F.lit("t"))
+    fast = {
+        r["url"]: r["cluster_id"]
+        for r in connected_components(edges).collect()
+    }
+    dist = {
+        r["url"]: r["cluster_id"]
+        for r in connected_components(edges, driver_cutover=0).collect()
+    }
+    assert fast == dist
+    assert fast["c"] == "a" and fast["f"] == "a" and fast["e"] == "d"
+
+
 def test_checkpoint_resume(spark, tmp_path):
     docs, _ = synth.to_spark(spark, n_docs=200)
     ck = str(tmp_path / "ckpt2")

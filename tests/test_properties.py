@@ -1,0 +1,121 @@
+"""Property-based spot checks (SURVEY.md §5.5, hypothesis).
+
+Kept Spark-light: the natural-sort total order and MinHash accuracy
+properties validate the *kernel functions* against independent Python
+models; one Spark run per property compares the expression output.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+
+from refine_spark.config import DEFAULT
+from refine_spark.scoring import _rare_token_sim, _sorensen_dice
+from refine_spark.signatures import _perm_params, _shingle_hashes, normalize_for_shingles
+
+
+# --- python model of the reference natural_cmp (natural.rs:6-105) ----------
+
+def _natural_model_key(s: str):
+    chunks = re.findall(r"[0-9]+|[^0-9]+", s)
+    out = []
+    for c in chunks:
+        if c[0].isdigit():
+            out.append((0, int(c), len(c)))
+        else:
+            out.append((1, c.lower(), 0))
+    return out
+
+
+_name_strategy = st.text(
+    alphabet=st.sampled_from("abcXYZ0123456789-_ ."), min_size=0, max_size=12
+)
+
+
+@given(st.lists(_name_strategy, min_size=2, max_size=8))
+@settings(max_examples=200, deadline=None)
+def test_natural_key_encoding_matches_model(names):
+    # the string encoding used by listing.natural_key must induce the same
+    # order as the tuple model; replicate the encoding in pure python
+    def encode(s: str) -> str:
+        parts = []
+        for c in re.findall(r"[0-9]+|[^0-9]+", s):
+            if c[0].isdigit():
+                stripped = c.lstrip("0") or "0"
+                parts.append(
+                    "\x01" + stripped.rjust(20, "0") + str(len(c)).rjust(4, "0")
+                )
+            else:
+                parts.append("\x02" + c.lower())
+        return "".join(parts)
+
+    by_model = sorted(names, key=_natural_model_key)
+    by_encoding = sorted(names, key=encode)
+    assert [_natural_model_key(n) for n in by_model] == [
+        _natural_model_key(n) for n in by_encoding
+    ]
+
+
+@given(
+    st.lists(st.sampled_from("abcdefgh"), min_size=4, max_size=40),
+    st.integers(min_value=0, max_value=10),
+)
+@settings(max_examples=50, deadline=None)
+def test_minhash_jaccard_estimate_within_bounds(words, n_edits):
+    # estimate error vs true shingle jaccard stays within ~4 sigma
+    a_tokens = list(words)
+    b_tokens = list(words)
+    for i in range(min(n_edits, len(b_tokens))):
+        b_tokens[i] = b_tokens[i] * 2
+    k = DEFAULT.shingle_k
+    sa = set(
+        " ".join(a_tokens[i : i + k]) for i in range(max(1, len(a_tokens) - k + 1))
+    )
+    sb = set(
+        " ".join(b_tokens[i : i + k]) for i in range(max(1, len(b_tokens) - k + 1))
+    )
+    true_j = len(sa & sb) / len(sa | sb)
+
+    pa, pb = _perm_params(DEFAULT)
+    m = (1 << 61) - 1
+
+    def sig(tokens):
+        sh = _shingle_hashes(tokens, k)
+        vals = (pa[:, None] * (sh[None, :] % m) + pb[:, None]) % m
+        return vals.min(axis=1)
+
+    est = float((sig(a_tokens) == sig(b_tokens)).mean())
+    sigma = (true_j * (1 - true_j) / DEFAULT.num_perm) ** 0.5
+    assert abs(est - true_j) <= max(4 * sigma, 0.08)
+
+
+@given(st.text(max_size=20), st.text(max_size=20))
+@settings(max_examples=200, deadline=None)
+def test_dice_symmetry_and_bounds(a, b):
+    d1 = _sorensen_dice(a, b)
+    d2 = _sorensen_dice(b, a)
+    assert abs(d1 - d2) < 1e-12
+    assert 0.0 <= d1 <= 1.0
+    assert _sorensen_dice(a, a) == 1.0 or not "".join(a.split())
+
+
+@given(
+    st.lists(st.sampled_from(["x", "y", "z", "w", "v"]), min_size=1, max_size=5, unique=True),
+    st.lists(st.sampled_from(["x", "y", "z", "w", "v"]), min_size=1, max_size=5, unique=True),
+)
+@settings(max_examples=100, deadline=None)
+def test_rare_token_sim_bounds_and_symmetry(ta, tb):
+    wa = [1.0] * len(ta)
+    wb = [1.0] * len(tb)
+    s1 = _rare_token_sim(ta, wa, tb, wb, 0.6, 1 / 3)
+    s2 = _rare_token_sim(tb, wb, ta, wa, 0.6, 1 / 3)
+    assert abs(s1 - s2) < 1e-12
+    assert 0.0 <= s1 <= 1.0 + 1e-12
+    if set(ta) == set(tb):
+        assert s1 == 1.0
+
+
+def test_normalize_for_shingles_accent_invariance():
+    assert normalize_for_shingles("Vidéo Ação") == normalize_for_shingles("video acao")
