@@ -42,6 +42,12 @@ class DedupConfig:
     # window chosen so any shared substring >= min_substring guarantees a
     # shared fingerprint: w + n - 1 <= min_substring
     winnow_window: int = 193
+    # verify shared-substring candidates with an exact O(n*m)
+    # SequenceMatcher instead of the rolling-hash run estimate. The
+    # estimate has no false negatives (a true shared substring always
+    # produces the full run of n-gram hits) and negligible false positives
+    # (64-bit hashes over 64-char grams); exact verify is for audits.
+    exact_lcs_verify: bool = False
 
     # --- skew / scale knobs ---
     band_cap: int = 2000            # max rows per LSH band key before capping (logged)

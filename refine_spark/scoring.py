@@ -100,10 +100,20 @@ def make_pair_score_udf(cfg: DedupConfig = DEFAULT):
 
 
 def token_weights(named: DataFrame) -> DataFrame:
-    """(url, toks: array<string>, ws: array<double>) with 1/ln(1+freq)
-    weights from the corpus-wide token frequency aggregate (with
-    multiplicity, dupes.rs:158-165). Frequency is an aggregate DataFrame
-    joined back, which scales; at test sizes Catalyst broadcasts it."""
+    """Per-url token-weight table with 1/ln(1+freq) weights from the
+    corpus-wide token frequency aggregate (with multiplicity,
+    dupes.rs:158-165). Frequency is an aggregate DataFrame joined back,
+    which scales; at test sizes Catalyst broadcasts it.
+
+    Columns engineered for the huge pair join downstream:
+      tids    array<long>   distinct token ids (xxhash64), sorted
+      ws      array<double> aligned weights
+      wsum    double        precomputed sum(ws) (saves a per-pair fold)
+      ntok    int           |distinct tokens|
+      nonnum  array<long>   ids of non-numeric tokens (qualification)
+    Long-array set ops are several times cheaper than string arrays and
+    shrink the dominant shuffle. xxhash64 collisions across a corpus
+    vocabulary are negligible (64-bit, birthday bound)."""
     freq = (
         named.select(F.explode("tokens").alias("token"))
         .groupBy("token")
@@ -113,12 +123,23 @@ def token_weights(named: DataFrame) -> DataFrame:
         named.select("url", F.explode(F.array_distinct("tokens")).alias("token"))
         .join(freq, "token")
         .withColumn("w", F.lit(1.0) / F.log1p(F.col("freq")))
+        .withColumn("tid", F.xxhash64("token"))
+        .withColumn("numeric", ~F.col("token").rlike("[^0-9]"))
         .groupBy("url")
-        .agg(F.sort_array(F.collect_list(F.struct("token", "w"))).alias("tw"))
+        .agg(F.sort_array(F.collect_list(F.struct("tid", "w", "numeric"))).alias("tw"))
         .select(
             "url",
-            F.transform("tw", lambda x: x["token"]).alias("toks"),
+            F.transform("tw", lambda x: x["tid"]).alias("tids"),
             F.transform("tw", lambda x: x["w"]).alias("ws"),
+            F.aggregate(
+                F.transform("tw", lambda x: x["w"]),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("wsum"),
+            F.size("tw").alias("ntok"),
+            F.transform(
+                F.filter("tw", lambda x: ~x["numeric"]), lambda x: x["tid"]
+            ).alias("nonnum"),
         )
     )
     return tokw
@@ -126,17 +147,16 @@ def token_weights(named: DataFrame) -> DataFrame:
 
 def _rare_jvm(cfg: DedupConfig):
     """rare_token_similarity as pure Catalyst higher-order expressions
-    (token arrays are distinct; weights aligned). Bit-for-bit the same
-    math as _rare_token_sim / the reference (dupes.rs:408-457)."""
-    ssum = lambda ws: F.aggregate(ws, F.lit(0.0), lambda acc, x: acc + x)  # noqa: E731
-    a_score = ssum(F.col("ws_a"))
-    b_score = ssum(F.col("ws_b"))
-    inter = F.array_intersect("toks_a", "toks_b")
-    map_a = F.map_from_arrays("toks_a", "ws_a")
+    over integer token ids (arrays distinct + sorted; weights aligned,
+    weight sums precomputed). Bit-for-bit the same math as
+    _rare_token_sim / the reference (dupes.rs:408-457)."""
+    a_score = F.col("wsum_a")
+    b_score = F.col("wsum_b")
+    inter = F.array_intersect("tids_a", "tids_b")
+    map_a = F.map_from_arrays("tids_a", "ws_a")
     inter_score = F.aggregate(inter, F.lit(0.0), lambda acc, t: acc + map_a[t])
-    subset = (F.size(F.array_except("toks_a", "toks_b")) == 0) | (
-        F.size(F.array_except("toks_b", "toks_a")) == 0
-    )
+    n_inter = F.size(inter)
+    subset = (n_inter == F.col("ntok_a")) | (n_inter == F.col("ntok_b"))
     union_score = a_score + b_score - inter_score
     base = F.when(subset, inter_score / F.least(a_score, b_score)).otherwise(
         F.when(
@@ -144,10 +164,10 @@ def _rare_jvm(cfg: DedupConfig):
             F.when(inter_score > 0.0, F.lit(1.0)).otherwise(F.lit(0.0)),
         ).otherwise(inter_score / union_score)
     )
-    la = F.size("toks_a").cast("double")
-    lb = F.size("toks_b").cast("double")
+    la = F.col("ntok_a").cast("double")
+    lb = F.col("ntok_b").cast("double")
     ratio = F.least(la, lb) / F.greatest(la, lb)
-    exponent = F.when(F.size(inter) <= 1, F.lit(cfg.penalty_exp_few)).otherwise(
+    exponent = F.when(n_inter <= 1, F.lit(cfg.penalty_exp_few)).otherwise(
         F.lit(cfg.penalty_exp_many)
     )
     rare = base * F.pow(ratio, exponent)
@@ -188,11 +208,8 @@ def score_name_pairs(
         .filter(F.col("kind_a") == F.col("kind_b"))
         .filter(
             # >=1 shared non-numeric token (dupes.rs:263-269; the
-            # reference qualifies on token SETS, so distinct toks suffice)
-            F.exists(
-                F.array_intersect("toks_a", "toks_b"),
-                lambda tok: tok.rlike("[^0-9]"),
-            )
+            # reference qualifies on token SETS) — precomputed id arrays
+            F.arrays_overlap("nonnum_a", "nonnum_b")
         )
     )
     scored = joined.withColumn("rare", _rare_jvm(cfg))

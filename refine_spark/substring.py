@@ -31,16 +31,22 @@ from .candidates import _pairs_from_buckets
 _B = np.uint64(1000003)  # polynomial rolling-hash base (wraparound mod 2^64)
 
 
-def _fingerprints(text: str, n: int, w: int) -> np.ndarray:
+def _rolling_hashes(text: str, n: int) -> np.ndarray:
+    """uint64-wraparound polynomial hashes of every char n-gram."""
     data = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
     if len(data) < n:
-        return np.array([], dtype=np.int64)
-    weights = np.empty(n, dtype=np.uint64)
-    weights[-1] = 1
-    for i in range(n - 2, -1, -1):
-        weights[i] = weights[i + 1] * _B
+        return np.array([], dtype=np.uint64)
+    weights = np.array(
+        [pow(int(_B), n - 1 - i, 1 << 64) for i in range(n)], dtype=np.uint64
+    )
     windows = np.lib.stride_tricks.sliding_window_view(data, n).astype(np.uint64)
-    hashes = (windows * weights[None, :]).sum(axis=1, dtype=np.uint64)
+    return (windows * weights[None, :]).sum(axis=1, dtype=np.uint64)
+
+
+def _fingerprints(text: str, n: int, w: int) -> np.ndarray:
+    hashes = _rolling_hashes(text, n)
+    if len(hashes) == 0:
+        return np.array([], dtype=np.int64)
     if len(hashes) <= w:
         return np.unique(hashes.min(keepdims=True)).view(np.int64)
     mins = np.lib.stride_tricks.sliding_window_view(hashes, w).min(axis=1)
@@ -83,10 +89,21 @@ def substring_edges(docs: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
     joined = pairs.join(a, "src").join(b, "dst").repartition(parallelism)
 
     min_len = cfg.min_substring
+    n = cfg.winnow_ngram
+    exact_verify = cfg.exact_lcs_verify
+
+    def _hashes_cached(cache: dict, text: str) -> np.ndarray:
+        h = cache.get(text)
+        if h is None:
+            h = _rolling_hashes(text, n)
+            cache[text] = h
+        return h
 
     @F.pandas_udf("double")
     def lcs_ratio(ta: pd.Series, tb: pd.Series) -> pd.Series:
         out = []
+        cache: dict[str, np.ndarray] = {}
+        need_run = min_len - n + 1
         for x, y in zip(ta, tb):
             x = x or ""
             y = y or ""
@@ -94,11 +111,35 @@ def substring_edges(docs: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
                 out.append(0.0)
                 continue
             shorter = min(len(x), len(y))
-            # fast paths: identical / containment pairs (the bulk — exact
-            # dups trivially share every substring) skip the O(n^2) matcher
+            # tier 0: identical / containment pairs (the bulk — exact dups
+            # trivially share every substring) — O(n)
             if x == y or (shorter >= min_len and (x in y or y in x)):
                 out.append(1.0 if shorter >= min_len else 0.0)
                 continue
+            # tier 1: vectorized necessary condition — a shared substring
+            # of length >= min_len forces a run of >= min_len - n + 1
+            # consecutive positions in x whose n-gram hash also occurs in
+            # y. O(len log len) with numpy; filters the vast majority.
+            ha = _hashes_cached(cache, x)
+            hb = _hashes_cached(cache, y)
+            if len(ha) == 0 or len(hb) == 0:
+                out.append(0.0)
+                continue
+            common = np.isin(ha, hb)
+            # longest run of True
+            padded = np.concatenate(([0], common.view(np.int8), [0]))
+            diff = np.diff(padded)
+            starts = np.nonzero(diff == 1)[0]
+            ends = np.nonzero(diff == -1)[0]
+            longest = int((ends - starts).max()) if len(starts) else 0
+            if longest < need_run:
+                out.append(0.0)
+                continue
+            if not exact_verify:
+                # hash-run estimate: shared region ~= run + n - 1
+                out.append(min(1.0, (longest + n - 1) / max(1, shorter)))
+                continue
+            # tier 2 (audit mode): exact LCS for the survivors
             m = SequenceMatcher(None, x, y, autojunk=False).find_longest_match(
                 0, len(x), 0, len(y)
             )
