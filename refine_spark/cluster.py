@@ -199,14 +199,25 @@ def sequential_cluster_ids(
 
 
 def name_pass_clusters(
-    name_edges: DataFrame, named: DataFrame, cfg: DedupConfig = DEFAULT
+    name_edges: DataFrame, named: DataFrame, cfg: DedupConfig = DEFAULT,
+    driver_cutover: int = 2_000_000,
 ) -> tuple[DataFrame, DataFrame]:
     """Reference 'similar pass' output: (clusters, surviving_edges).
 
     Clusters with >1 member, sequential groups removed, with avg_sim;
     surviving_edges excludes edges inside sequential clusters so the
     global CC never links through an excluded group.
+
+    Adaptive like connected_components: below the cutover the whole chain
+    (union-find, sequential detection, stats, edge filtering) runs on the
+    driver in pandas — the distributed version is ~10 small jobs whose
+    fixed latency dwarfs the work at accepted-edge volumes; above it, the
+    full DataFrame path runs.
     """
+    n_edges = name_edges.count()
+    if n_edges <= driver_cutover:
+        return _name_pass_driver(name_edges, named)
+
     labels = connected_components(name_edges, salt_buckets=cfg.salt_buckets)
     seq = sequential_cluster_ids(labels, named)
     kept_labels = labels.join(seq, "cluster_id", "left_anti")
@@ -214,4 +225,84 @@ def name_pass_clusters(
     clusters = kept_labels.join(stats, "cluster_id").filter(F.col("cluster_size") > 1)
     lab_src = kept_labels.select(F.col("url").alias("src"))
     surviving = name_edges.join(lab_src, "src", "left_semi")
+    return clusters, surviving
+
+
+def _name_pass_driver(name_edges: DataFrame, named: DataFrame):
+    """Driver-side pandas implementation of the similar-pass epilogue.
+    Same semantics as the distributed path; Arrow transfer both ways."""
+    spark = name_edges.sparkSession
+    epdf = name_edges.select("src", "dst", "sim").toPandas()
+    urls = spark.createDataFrame(
+        pd.DataFrame({"url": pd.unique(epdf[["src", "dst"]].to_numpy().ravel())})
+    )
+    names_pdf = (
+        named.join(urls, "url", "left_semi").select("url", "cleaned_name").toPandas()
+    )
+    name_of = dict(zip(names_pdf["url"], names_pdf["cleaned_name"]))
+
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for s, d in zip(epdf["src"], epdf["dst"]):
+        parent.setdefault(s, s)
+        parent.setdefault(d, d)
+        ra, rb = find(s), find(d)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    members: dict[str, list[str]] = {}
+    for u in parent:
+        members.setdefault(find(u), []).append(u)
+
+    sequential_roots = {
+        root
+        for root, us in members.items()
+        if len(us) > 1
+        and is_likely_sequential([name_of.get(u, "") for u in us])
+    }
+    # per-cluster edge stats over accepted edges
+    sums: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    for s, sim in zip(epdf["src"], epdf["sim"]):
+        r = find(s)
+        sums[r] = sums.get(r, 0.0) + sim
+        counts[r] = counts.get(r, 0) + 1
+
+    rows = [
+        (u, root, sums.get(root, 0.0) / max(1, counts.get(root, 0)),
+         counts.get(root, 0), len(us))
+        for root, us in members.items()
+        if root not in sequential_roots and len(us) > 1
+        for u in us
+    ]
+    clusters = spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["url", "cluster_id", "avg_sim", "n_edges", "cluster_size"]
+        )
+        if rows
+        else pd.DataFrame(
+            {"url": pd.Series(dtype="str"), "cluster_id": pd.Series(dtype="str"),
+             "avg_sim": pd.Series(dtype="float64"), "n_edges": pd.Series(dtype="int64"),
+             "cluster_size": pd.Series(dtype="int64")}
+        )
+    )
+    keep_mask = [find(s) not in sequential_roots for s in epdf["src"]]
+    surv_pdf = epdf[pd.Series(keep_mask, index=epdf.index)].assign(pass_name="name")
+    surviving = spark.createDataFrame(
+        surv_pdf
+        if len(surv_pdf)
+        else pd.DataFrame(
+            {"src": pd.Series(dtype="str"), "dst": pd.Series(dtype="str"),
+             "sim": pd.Series(dtype="float64"), "pass_name": pd.Series(dtype="str")}
+        )
+    )
     return clusters, surviving
