@@ -187,7 +187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _read(spark, sf, "embeddings")
         queries_df = emb.filter(F.col("vec_id") < 3)
         return brute_force_topk(emb, queries_df, k=5).select(
-            "query_id", "vec_id", "rank"
+            "query_id", "vec_id", F.col("rank").cast("long").alias("rank")
         )
 
     q["ann_topk"] = ann_topk
@@ -208,8 +208,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _read(spark, sf, "documents")
         return docs.select(
             "doc_id",
-            token_count(F.col("text")).alias("n_tokens"),
-            bpe_ish_count(F.col("text")).alias("n_units"),
+            token_count(F.col("text")).cast("long").alias("n_tokens"),
+            bpe_ish_count(F.col("text")).cast("long").alias("n_units"),
         )
 
     q["token_counts"] = token_counts
@@ -217,7 +217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def quality(spark, sf):
         docs = _read(spark, sf, "documents")
         stats = quality_stats(F.col("text"))
-        return docs.select("doc_id", *[c.alias(k) for k, c in stats.items()])
+        return docs.select("doc_id", *[c.cast("long").alias(k) for k, c in stats.items()])
 
     q["quality"] = quality
 
@@ -280,7 +280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         orders = _read(spark, sf, "orders")
         w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
         return orders.select(
-            "o_custkey", "o_orderkey", F.row_number().over(w).alias("seq")
+            "o_custkey", "o_orderkey", F.row_number().over(w).cast("long").alias("seq")
         )
 
     q["window_seq"] = window_seq
@@ -298,7 +298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def clash_seq(spark, sf):
         part = _read(spark, sf, "part")
         w = W.partitionBy("p_brand").orderBy("p_partkey")
-        return part.select("p_partkey", "p_brand", F.row_number().over(w).alias("rn"))
+        return part.select("p_partkey", "p_brand", F.row_number().over(w).cast("long").alias("rn"))
 
     q["clash_seq"] = clash_seq
 
@@ -329,7 +329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events = _read(spark, sf, "events")
         w = W.partitionBy("user_id").orderBy("ts", "event_id")
         return events.select(
-            "user_id", "event_id", F.row_number().over(w).alias("seq")
+            "user_id", "event_id", F.row_number().over(w).cast("long").alias("seq")
         )
 
     q["events_session_seq"] = events_session_seq
@@ -376,7 +376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "p_partkey", "p_name", F.lead("p_name").over(w).alias("next_name")
         )
         return withnext.filter(F.col("next_name").isNotNull()).select(
-            "p_partkey", F.levenshtein("p_name", "next_name").alias("lev")
+            "p_partkey", F.levenshtein("p_name", "next_name").cast("long").alias("lev")
         )
 
     q["levenshtein_pairs"] = levenshtein_pairs
