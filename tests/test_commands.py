@@ -209,3 +209,32 @@ def test_probe_with_fake_client(spark):
     assert verdicts["alpha"] == "valid"
     assert verdicts["gone"] == "invalid"
     assert verdicts["flaky"] == "failed"
+
+
+def test_fetch_filter_axes(spark):
+    from refine_spark.scan import fetch_filter
+
+    rows = [
+        ("http://h/docs/report.txt", "report", "txt", 1),
+        ("http://h/docs/.hidden.txt", ".hidden", "txt", 2),
+        ("http://h/img/photo.jpg", "photo", "jpg", 3),
+        ("http://h/docs/REPORT2.TXT", "REPORT2", "TXT", 4),
+    ]
+    df = _docs(spark, rows)
+    # hidden always excluded; ext include is case-insensitive
+    got = {r["url"] for r in fetch_filter(df, include={"ext": "^txt$"}).collect()}
+    assert got == {"http://h/docs/report.txt", "http://h/docs/REPORT2.TXT"}
+    # dir axis matches the parent segment
+    got = {r["url"] for r in fetch_filter(df, include={"dir": "^img$"}).collect()}
+    assert got == {"http://h/img/photo.jpg"}
+    # exclude wins over include (AND of both constraints)
+    got = {
+        r["url"]
+        for r in fetch_filter(
+            df, include={"ext": "txt"}, exclude={"file": "2$"}
+        ).collect()
+    }
+    assert got == {"http://h/docs/report.txt"}
+    # keep_hidden opt-in
+    got = {r["url"] for r in fetch_filter(df, keep_hidden=True).collect()}
+    assert "http://h/docs/.hidden.txt" in got
