@@ -121,24 +121,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["token_freq"] = token_freq
 
     def ngram_jaccard_pairs(spark, sf):
+        # Token-set Jaccard >= 0.9 pairs via PREFIX FILTERING (Chaudhuri et
+        # al., exact — no false negatives): with both token sets ordered by
+        # global (df, token), J(A,B) >= t forces a shared token within each
+        # side's floor((1-t)*n)+1 rarest tokens. The candidate join touches
+        # only those prefixes, so a hot token never fans out to O(df^2)
+        # pairs; the exact intersection is verified with array_intersect on
+        # the collected per-doc sets (bounded-length docs). Output is
+        # byte-identical to the naive all-shared-tokens self-join the
+        # DuckDB oracle runs.
         docs = _read(spark, sf, "documents")
         tok = docs.select(
             "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
         )
-        cnt = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-        a = tok.select(F.col("doc_id").alias("id_a"), "token")
-        b = tok.select(F.col("doc_id").alias("id_b"), "token")
-        inter = (
-            a.join(b, "token")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("n_inter"))
+        dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+        wr = W.partitionBy("doc_id").orderBy("df", "token")
+        wn = W.partitionBy("doc_id")
+        ranked = (
+            tok.join(dfreq, "token")
+            .withColumn("rk", F.row_number().over(wr))
+            .withColumn("n", F.count(F.lit(1)).over(wn))
         )
-        ca = cnt.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
-        cb = cnt.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+        prefix = ranked.filter(
+            F.col("rk") <= F.floor(F.col("n") / 10) + 1  # t = 0.9
+        ).select("doc_id", "token")
+        cand = (
+            prefix.select(F.col("doc_id").alias("id_a"), "token")
+            .join(prefix.select(F.col("doc_id").alias("id_b"), "token"), "token")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        sets = tok.groupBy("doc_id").agg(
+            F.sort_array(F.collect_set("token")).alias("toks"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        sa = sets.select(
+            F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a"),
+            F.col("n").alias("na"),
+        )
+        sb = sets.select(
+            F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"),
+            F.col("n").alias("nb"),
+        )
         return (
-            inter.join(ca, "id_a")
-            .join(cb, "id_b")
+            cand.join(sa, "id_a")
+            .join(sb, "id_b")
+            .withColumn(
+                "n_inter", F.size(F.array_intersect("toks_a", "toks_b")).cast("long")
+            )
             .withColumn("n_union", F.col("na") + F.col("nb") - F.col("n_inter"))
             .filter(F.col("n_inter") * 10 >= F.col("n_union") * 9)
             .select("id_a", "id_b", "n_inter", "n_union")
@@ -370,12 +401,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["orphan_parts"] = orphan_parts
 
     def levenshtein_pairs(spark, sf):
+        # lead() over a GLOBAL key order without a single-task global sort:
+        # bucket the key space, lead within each bucket in parallel, then
+        # stitch bucket boundaries through a tiny per-bucket aggregate
+        # (first/last row of each bucket; the row after bucket b's last is
+        # the next non-empty bucket's first). Output identical to the
+        # global-window oracle.
         part = _read(spark, sf, "part")
-        w = W.orderBy("p_partkey")
-        withnext = part.select(
-            "p_partkey", "p_name", F.lead("p_name").over(w).alias("next_name")
+        bucketed = part.select(
+            "p_partkey", "p_name", (F.col("p_partkey") / 512).cast("long").alias("bkt")
         )
-        return withnext.filter(F.col("next_name").isNotNull()).select(
+        wb = W.partitionBy("bkt").orderBy("p_partkey")
+        inner = bucketed.select(
+            "p_partkey", "p_name", "bkt", F.lead("p_name").over(wb).alias("next_name")
+        )
+        edges = bucketed.groupBy("bkt").agg(
+            F.max_by("p_name", "p_partkey").alias("last_name"),
+            F.max("p_partkey").alias("last_pk"),
+            F.min_by("p_name", "p_partkey").alias("first_name"),
+        )
+        wnext = W.orderBy("bkt")  # tiny frame: one row per bucket
+        boundary = (
+            edges.select(
+                "bkt", "last_pk", "last_name",
+                F.lead("first_name").over(wnext).alias("next_name"),
+            )
+            .filter(F.col("next_name").isNotNull())
+            .select(
+                F.col("last_pk").alias("p_partkey"),
+                F.col("last_name").alias("p_name"),
+                "next_name",
+            )
+        )
+        withnext = inner.filter(F.col("next_name").isNotNull()).select(
+            "p_partkey", "p_name", "next_name"
+        ).unionByName(boundary)
+        return withnext.select(
             "p_partkey", F.levenshtein("p_name", "next_name").cast("long").alias("lev")
         )
 

@@ -10,10 +10,16 @@ SURVEY.md §2 S6 + A1 + A2. Reference semantics:
 
 Spark-first: the file-read becomes pure binary slicing on the `html`
 column; "exact sample bytes" equality becomes sha2-256 equality over the
-slice. The reference's *lazy* sampling (only size-collided groups do I/O)
-is encoded in the plan: a first aggregation keeps only colliding (size,
-kind) groups, and the hash is computed only on the survivors — at 100 TB
-this avoids hashing the long tail of unique sizes.
+slice.
+
+Scale note (changed in round 2): the reference's lazy sampling skips
+hashing files whose size is unique — worthwhile when sampling means disk
+seeks. Here the bytes are already in the row, so the cost it would dodge
+(slicing+hashing ≤4 KB map-side) is far cheaper than the cost a
+pre-collision filter pays (a full-table window that shuffles the corpus
+*including the html column* twice). We therefore hash map-side
+unconditionally and shuffle only ~100-byte projected rows
+(url, size, kind, sample_hash) — one narrow shuffle total.
 """
 
 from __future__ import annotations
@@ -50,20 +56,18 @@ def with_size_kind(docs: DataFrame) -> DataFrame:
 def exact_dup_groups(docs: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
     """Return (url, size, kind, sample_hash, group_size) for exact-dup rows.
 
-    Two-step plan (lazy-sampling analog): filter to size-collided groups
-    BEFORE computing the sample hash, so the expensive slice+hash runs only
-    on potential duplicates.
+    The sample hash is computed map-side on the narrow projection, so the
+    single shuffle moves only (url, size, kind, sample_hash) rows — never
+    the html payload (dupes.rs:126-151 group semantics, Spark-first cost
+    model; see module docstring).
     """
-    base = with_size_kind(docs)
-    w = W.partitionBy("size", "kind")
-    survivors = (
-        base.withColumn("_n", F.count(F.lit(1)).over(w))
-        .filter(F.col("_n") > 1)
-        .drop("_n")
-    )
-    sampled = survivors.withColumn(
-        "sample_hash",
-        F.sha2(three_point_sample(F.col("html"), cfg.sample_kb * 1024), 256),
+    sampled = with_size_kind(docs).select(
+        "url",
+        "size",
+        "kind",
+        F.sha2(
+            three_point_sample(F.col("html"), cfg.sample_kb * 1024), 256
+        ).alias("sample_hash"),
     )
     wg = W.partitionBy("size", "kind", "sample_hash")
     return (

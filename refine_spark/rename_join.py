@@ -79,7 +79,6 @@ def rename_plan(
             "new_name", F.when(F.col("clash"), F.lit("")).otherwise(F.col("new_name"))
         ).withColumn("resolution", F.lit(""))
     else:  # sequence: changed rows in clash groups get -1, -2, ... (W4)
-        wseq = W.partitionBy("parent", "new_name").orderBy("url")
         rn = F.row_number().over(
             W.partitionBy("parent", "new_name", "changed").orderBy("url")
         )
@@ -96,8 +95,6 @@ def rename_plan(
                 F.col("new_name")
             ),
         )
-        _ = wseq  # documented: rn orders by url within (parent, name, changed)
-
     blocked_rows = base.filter(F.col("blocked")).withColumn(
         "clash", F.lit(False)
     ).withColumn("changed", F.lit(False)).withColumn("resolution", F.lit(""))
