@@ -30,8 +30,8 @@ from refine_spark.config import DedupConfig, STOPWORDS, TAGS_MULTI_PATTERN
 from refine_spark.listing import NATURAL_KEY_DUCKDB, natural_key
 from refine_spark.pipeline import run_dedup
 from refine_spark.scan import collection_parts
-from refine_spark.signatures import with_signatures
-from refine_spark.simsearch import brute_force_topk, cosine_dup_pairs
+from refine_spark.signatures import make_simhash_udf, simhash_edges, with_signatures
+from refine_spark.simsearch import brute_force_topk, cosine_dup_pairs, lsh_topk
 from refine_spark.substring import substring_edges
 
 
@@ -177,8 +177,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ngram_jaccard_pairs"] = ngram_jaccard_pairs
 
-    def minhash_clusters(spark, sf):  # rows-only: iterative + UDF
-        docs = _docs_as_pipeline_input(_read(spark, sf, "documents"))
+    def minhash_clusters(spark, sf):
+        # MinHash -> LSH banding -> signature-verified edges -> connected
+        # components, over the seeded synthetic corpus. Oracle: the
+        # generator's PLANTED clustering for the families MinHash is
+        # responsible for (exact + near_text) — cluster_id must equal the
+        # min url of the planted cluster, i.e. the engine must reproduce
+        # the planted partition exactly (no missed links, no false merges).
+        docs, _ = synth.to_spark(spark, n_docs=500)
         signed = with_signatures(docs.select("url", "text"))
         from refine_spark.pipeline import minhash_edges
 
@@ -187,20 +193,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["minhash_clusters"] = minhash_clusters
 
-    def simhash_fingerprints(spark, sf):  # rows-only: UDF, engine-specific hash
-        docs = _docs_as_pipeline_input(_read(spark, sf, "documents"))
-        return with_signatures(docs.select("url", "text")).select("url", "simhash")
+    def simhash_fingerprints(spark, sf):
+        # bit-parity gate: DuckDB recomputes the md5-based 60-bit
+        # shingle-SimHash exactly (see signatures.token_hash60)
+        docs = _read(spark, sf, "documents")
+        sh = make_simhash_udf(DedupConfig())
+        return docs.select("doc_id", sh(F.col("text")).alias("simhash"))
 
     q["simhash_fingerprints"] = simhash_fingerprints
 
-    def substring_pairs(spark, sf):  # rows-only: winnowing + LCS UDF
+    def simhash_hamming_pairs(spark, sf):
+        # the simhash candidate pass itself: bit-sliced band join +
+        # hamming verify; oracle recomputes fingerprints and brute-forces
+        # the hamming ball (banding guarantee: hamming<=3 always shares a
+        # 15-bit band, so the outputs must be identical)
         docs = _docs_as_pipeline_input(_read(spark, sf, "documents"))
-        cfg = DedupConfig(min_substring=48, winnow_ngram=16, winnow_window=33)
+        signed = with_signatures(docs.select("url", "text"))
+        return simhash_edges(signed).select("src", "dst")
+
+    q["simhash_hamming_pairs"] = simhash_hamming_pairs
+
+    def substring_pairs(spark, sf):
+        # winnowing fingerprints -> bucket join -> EXACT LCS verify; the
+        # winnowing guarantee (w + n - 1 <= min_substring) makes this
+        # exactly the set of pairs sharing a >=48-char substring, which
+        # the oracle recomputes first-principles (grid q-gram prefilter +
+        # exhaustive containment check)
+        docs = _docs_as_pipeline_input(_read(spark, sf, "documents"))
+        cfg = DedupConfig(
+            min_substring=48, winnow_ngram=16, winnow_window=33,
+            exact_lcs_verify=True,
+        )
         return substring_edges(docs, cfg).select("src", "dst")
 
     q["substring_pairs"] = substring_pairs
 
-    def dedup_pipeline_synth(spark, sf):  # rows-only: full iterative pipeline
+    def dedup_pipeline_synth(spark, sf):
+        # full pipeline (exact + text + simhash + name + substring +
+        # global CC) over the seeded synthetic corpus; oracle = the
+        # generator's planted partition across ALL families (sequential
+        # families excluded by the detector), cluster_id = min url
         docs, _ = synth.to_spark(spark, n_docs=200)
         return run_dedup(spark, docs)["clusters"].select("url", "cluster_id")
 
@@ -222,6 +254,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["ann_topk"] = ann_topk
+
+    def lsh_ann_topk(spark, sf):
+        # the APPROXIMATE path, correctness-gated: md5-derived Rademacher
+        # hyperplanes (simsearch.rademacher_planes) make the bucketing
+        # reproducible in SQL, so the oracle replays bucket assignment,
+        # hamming<=2 multi-probe, and the exact-cosine rerank bit-for-bit.
+        emb = _read(spark, sf, "embeddings").withColumn(
+            "embedding", F.transform("embedding", lambda x: x.cast("double"))
+        )
+        queries_df = emb.filter(F.col("vec_id") < 3)
+        return lsh_topk(
+            emb, queries_df, dim=64, k=5, n_planes=10, probe_radius=2
+        ).select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
+
+    q["lsh_ann_topk"] = lsh_ann_topk
 
     # ---- text analysis -------------------------------------------------
 
@@ -450,6 +497,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 
+def _planted_clusters_sql(n_docs: int, families: tuple[str, ...] | None) -> str:
+    """Golden-truth oracle for the clustering queries: the seeded synthetic
+    generator's PLANTED partition, rendered as a VALUES table. The truth
+    comes from the generator (refine_spark/synth.py), never from the
+    engine, so a regression in any pipeline stage flips the comparison.
+    cluster_id = min url of the planted cluster — exactly what the
+    min-label connected-components contract produces."""
+    truth = synth.gen_documents(n_docs)[1]
+    t = truth[truth["cluster_id"].notna()]
+    if families is not None:
+        t = t[t["family"].isin(families)]
+    t = t[t.groupby("cluster_id")["url"].transform("count") > 1]
+    rep = t.groupby("cluster_id")["url"].transform("min")
+    rows = sorted(zip(t["url"], rep))
+    values = ",\n".join(f"('{u}', '{r}')" for u, r in rows)
+    return (
+        f"SELECT url, cluster_id FROM (VALUES\n{values}\n) AS t(url, cluster_id)"
+    )
+
+
+# md5-based 60-bit shingle SimHash, recomputed from first principles
+# (kept in lockstep with refine_spark/signatures.py: token_hash60 +
+# _shingle_strings + make_simhash_udf)
+_SIMHASH_CTE = r"""
+toks AS (
+  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+  FROM documents
+),
+shingled AS (
+  SELECT doc_id, source,
+    CASE WHEN len(tk) = 0 THEN ['']
+         WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+         ELSE list_transform(range(1, len(tk) - 1),
+                             i -> array_to_string(tk[i:i+2], ' '))
+    END AS shingles
+  FROM toks
+),
+feat AS (
+  SELECT doc_id, source, shingle, count(*) AS cnt,
+         CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) AS h
+  FROM (SELECT doc_id, source, unnest(shingles) AS shingle FROM shingled)
+  GROUP BY doc_id, source, shingle
+),
+bits AS (
+  SELECT doc_id, source, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN cnt ELSE -cnt END) AS acc
+  FROM feat CROSS JOIN (SELECT unnest(range(60)) AS b) bb
+  GROUP BY doc_id, source, b
+),
+simhashes AS (
+  SELECT doc_id, source,
+         CAST(sum(CASE WHEN acc > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id, source
+)
+""".strip()
+
+
 def oracle_sql() -> dict[str, str]:
     nat_key = NATURAL_KEY_DUCKDB.format(col="p_name")
     grammar_pat = r"^(\w+)(?:\+(\w+))?~(\d+)(.*)$"
@@ -503,6 +608,104 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_members
             FROM documents GROUP BY n_chars, coalesce(lang, 'unknown')
             HAVING count(*) > 1
+        """,
+        "minhash_clusters": _planted_clusters_sql(500, ("exact", "near_text")),
+        "dedup_pipeline_synth": _planted_clusters_sql(200, None),
+        "simhash_fingerprints": f"""
+            WITH {_SIMHASH_CTE}
+            SELECT doc_id, simhash FROM simhashes
+        """,
+        "simhash_hamming_pairs": f"""
+            WITH {_SIMHASH_CTE},
+            u AS (
+                SELECT 'doc://' || source || '/' || CAST(doc_id AS VARCHAR)
+                           AS url,
+                       simhash
+                FROM simhashes
+            )
+            SELECT a.url AS src, b.url AS dst
+            FROM u a JOIN u b
+              ON a.url < b.url
+             AND bit_count(xor(a.simhash, b.simhash)) <= 3
+        """,
+        "substring_pairs": """
+            WITH d AS (
+              SELECT 'doc://' || source || '/' || CAST(doc_id AS VARCHAR)
+                         AS url,
+                     text
+              FROM documents WHERE length(text) >= 48
+            ),
+            all_grams AS (
+              SELECT url, unnest(list_transform(range(1, length(text) - 14),
+                         i -> substring(text, CAST(i AS INTEGER), 16))) AS g
+              FROM d
+            ),
+            grid_grams AS (
+              -- any 48-char shared region fully contains a grid-aligned
+              -- 16-gram of the other side, so this join has no false
+              -- negatives (q-gram filter)
+              SELECT url, unnest(list_transform(
+                         range(0, (length(text) - 16) // 16 + 1),
+                         i -> substring(text, CAST(i*16 + 1 AS INTEGER), 16)))
+                         AS g
+              FROM d
+            ),
+            cand AS (
+              SELECT DISTINCT least(a.url, b.url) AS src,
+                              greatest(a.url, b.url) AS dst
+              FROM (SELECT DISTINCT url, g FROM all_grams) a
+              JOIN (SELECT DISTINCT url, g FROM grid_grams) b USING (g)
+              WHERE a.url <> b.url
+            )
+            SELECT src, dst FROM cand
+            JOIN d da ON da.url = src JOIN d db ON db.url = dst
+            WHERE len(list_filter(range(1, length(da.text) - 46),
+                  i -> contains(db.text,
+                                substring(da.text, CAST(i AS INTEGER), 48)))) > 0
+        """,
+        "lsh_ann_topk": """
+            WITH signs AS (
+              -- md5-derived Rademacher planes, table 0 (simsearch.rademacher_planes)
+              SELECT j, d,
+                     CASE WHEN CAST(('0x' || substring(md5('0:' || CAST(j AS VARCHAR)
+                              || ':' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) & 1 = 1
+                          THEN 1.0 ELSE -1.0 END AS s
+              FROM (SELECT unnest(range(10)) AS j) jj
+              CROSS JOIN (SELECT unnest(range(64)) AS d) dd
+            ),
+            comp AS (
+              SELECT vec_id, idx - 1 AS d, CAST(embedding[idx] AS DOUBLE) AS v
+              FROM (SELECT vec_id, embedding,
+                           unnest(range(1, len(embedding)+1)) AS idx
+                    FROM embeddings)
+            ),
+            proj AS (
+              SELECT vec_id, j, sum(s * v) AS p
+              FROM comp JOIN signs USING (d) GROUP BY vec_id, j
+            ),
+            bkt AS (
+              SELECT vec_id,
+                     CAST(sum(CASE WHEN p > 0 THEN (CAST(1 AS BIGINT) << j)
+                              ELSE 0 END) AS BIGINT) AS bucket
+              FROM proj GROUP BY vec_id
+            ),
+            cand AS (
+              -- hamming<=2 multi-probe ball + exact-cosine rerank
+              SELECT q.vec_id AS query_id, c.vec_id,
+                     list_cosine_similarity(qe.embedding, ce.embedding) AS cos
+              FROM bkt q
+              JOIN bkt c ON bit_count(xor(q.bucket, c.bucket)) <= 2
+                        AND q.vec_id <> c.vec_id
+              JOIN embeddings qe ON qe.vec_id = q.vec_id
+              JOIN embeddings ce ON ce.vec_id = c.vec_id
+              WHERE q.vec_id < 3
+            )
+            SELECT query_id, vec_id, rank FROM (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, vec_id) AS rank
+              FROM cand
+            ) WHERE rank <= 5
         """,
         "embedding_cosine_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -34,7 +34,13 @@ class DedupConfig:
     lsh_rows: int = 8               # rows per band (bands*rows == num_perm)
 
     # --- SimHash ---
-    simhash_bits: int = 64
+    # 60 bits (not 64): the fingerprint is the low 60 bits of per-token
+    # md5, so (a) it always fits a signed BIGINT in both Spark and DuckDB
+    # (bit 63 never set -> no sign/overflow divergence between engines)
+    # and (b) the driver's DuckDB oracle recomputes it bit-exactly.
+    simhash_bits: int = 60
+    simhash_bands: int = 4          # 4 x 15-bit bands: hamming<=3 pairs
+    simhash_max_hamming: int = 3    # always share a full band (pigeonhole)
 
     # --- suffix/substring pass (winnowing) ---
     min_substring: int = 256        # chars; FIXTURES.md family 4

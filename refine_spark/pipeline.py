@@ -27,7 +27,7 @@ from .checkpoint import StageRunner
 from .exact import exact_edges, with_size_kind
 from .scan import with_identity_columns
 from .scoring import score_name_pairs
-from .signatures import with_signatures
+from .signatures import simhash_edges, with_signatures
 from .substring import substring_edges
 
 
@@ -67,7 +67,7 @@ def run_dedup(
     docs: DataFrame,
     cfg: DedupConfig = DEFAULT,
     checkpoint_dir: str | None = None,
-    passes: tuple[str, ...] = ("exact", "text", "name", "substring"),
+    passes: tuple[str, ...] = ("exact", "text", "simhash", "name", "substring"),
     lazy: bool = False,
 ) -> dict:
     """Run the full pipeline; returns dict with clusters/edges/metrics.
@@ -86,13 +86,20 @@ def run_dedup(
     if "exact" in passes:
         edge_frames.append(runner.run("exact_edges", lambda: exact_edges(base, cfg)))
 
-    if "text" in passes:
+    if "text" in passes or "simhash" in passes:
         signed = runner.run(
             "signatures",
             lambda: with_signatures(base.select("url", "text"), cfg),
             reused=True,  # feeds band explode AND both sides of the verify join
         )
-        edge_frames.append(runner.run("text_edges", lambda: minhash_edges(signed, cfg)))
+        if "text" in passes:
+            edge_frames.append(
+                runner.run("text_edges", lambda: minhash_edges(signed, cfg))
+            )
+        if "simhash" in passes:
+            edge_frames.append(
+                runner.run("simhash_edges", lambda: simhash_edges(signed, cfg))
+            )
 
     if "name" in passes:
         named = base.select("url", "cleaned_name", "tokens", "kind")

@@ -46,12 +46,7 @@ def normalize_for_shingles(text: str) -> list[str]:
 
 def _shingle_hashes(tokens: list[str], k: int) -> np.ndarray:
     """Stable 64-bit hashes of word k-shingles (whole token list if < k)."""
-    if not tokens:
-        shingles = [""]
-    elif len(tokens) < k:
-        shingles = [" ".join(tokens)]
-    else:
-        shingles = [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
+    shingles = _shingle_strings(tokens, k)
     out = np.empty(len(shingles), dtype=np.uint64)
     for i, s in enumerate(shingles):
         out[i] = int.from_bytes(
@@ -78,31 +73,47 @@ def make_minhash_udf(cfg: DedupConfig = DEFAULT):
     return minhash_udf
 
 
+def token_hash60(tok: str) -> int:
+    """Low-60-bit md5 of a token. md5 (not blake2b) so the DuckDB
+    correctness oracle reproduces it exactly:
+    CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)."""
+    return int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def _shingle_strings(tokens: list[str], k: int) -> list[str]:
+    """The k-shingle feature strings (shared by MinHash and SimHash)."""
+    if not tokens:
+        return [""]
+    if len(tokens) < k:
+        return [" ".join(tokens)]
+    return [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
+
+
 def make_simhash_udf(cfg: DedupConfig = DEFAULT):
+    """SimHash over word k-shingle features (not unigram bags): the
+    fingerprint is order-sensitive, so hamming <= simhash_max_hamming
+    means near-identical text, not merely similar token frequencies —
+    bag-of-words look-alikes built from a shared hot vocabulary do not
+    collide. This is the classic web-dedup configuration."""
     bits = cfg.simhash_bits
+    k = cfg.shingle_k
 
     @F.pandas_udf(T.LongType())
     def simhash_udf(texts: pd.Series) -> pd.Series:
         out = np.zeros(len(texts), dtype=np.int64)
         for idx, text in enumerate(texts):
-            tokens = normalize_for_shingles(text)
-            if not tokens:
-                continue
-            uniq, counts = np.unique(np.array(tokens, dtype=object), return_counts=True)
-            hs = np.empty(len(uniq), dtype=np.uint64)
-            for i, tok in enumerate(uniq):
-                hs[i] = int.from_bytes(
-                    hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big"
-                )
-            # unpack bits: (n_tokens x 64) of {0,1}
+            feats = _shingle_strings(normalize_for_shingles(text), k)
+            uniq, counts = np.unique(np.array(feats, dtype=object), return_counts=True)
+            hs = np.array([token_hash60(tok) for tok in uniq], dtype=np.uint64)
+            # unpack bits: (n_tokens x bits) of {0,1}
             bit_matrix = (hs[:, None] >> np.arange(bits, dtype=np.uint64)[None, :]) & 1
             weights = counts.astype(np.int64)
             acc = ((bit_matrix.astype(np.int64) * 2 - 1) * weights[:, None]).sum(axis=0)
-            sim = np.uint64(0)
+            sim = 0
             for bpos in range(bits):
                 if acc[bpos] > 0:
-                    sim |= np.uint64(1) << np.uint64(bpos)
-            out[idx] = np.int64(sim)
+                    sim |= 1 << bpos
+            out[idx] = sim
         return pd.Series(out)
 
     return simhash_udf
@@ -111,6 +122,61 @@ def make_simhash_udf(cfg: DedupConfig = DEFAULT):
 def hamming_distance(col_a, col_b):
     """Builtin JVM-side Hamming distance between two 64-bit fingerprints."""
     return F.bit_count(col_a.bitwiseXOR(col_b))
+
+
+def simhash_band_keys(df, cfg: DedupConfig = DEFAULT, sig_col: str = "simhash"):
+    """Explode the fingerprint into (band, band_key) rows, JVM-side.
+
+    Bit-sliced banding: `simhash_bands` equal slices of the fingerprint.
+    Pigeonhole guarantee: any pair within hamming distance
+    <= simhash_bands - 1 (>= simhash_max_hamming by config) shares at
+    least one slice exactly, so the equi-join on (band, band_key) has no
+    false negatives for the hamming ball the verify step accepts."""
+    width = cfg.simhash_bits // cfg.simhash_bands
+    mask = (1 << width) - 1
+    banded = df.select(
+        "url",
+        sig_col,
+        F.explode(F.sequence(F.lit(0), F.lit(cfg.simhash_bands - 1))).alias("band"),
+    ).withColumn(
+        "band_key",
+        # shiftright() only takes a literal shift in the Python API;
+        # the SQL form accepts a column expression
+        F.expr(f"shiftright({sig_col}, band * {width})").bitwiseAND(F.lit(mask)),
+    )
+    return banded.select("url", "band", "band_key")
+
+
+def simhash_edges(docs_with_sig, cfg: DedupConfig = DEFAULT):
+    """Edges (src, dst, sim, 'simhash') for pairs within the hamming ball.
+
+    Candidates from the band join (one narrow shuffle, capped hot buckets);
+    verify is a pure JVM bit_count(xor) <= simhash_max_hamming — no text,
+    no Python. sim = 1 - hamming/bits."""
+    from .candidates import _pairs_from_buckets
+
+    banded = simhash_band_keys(docs_with_sig.select("url", "simhash"), cfg)
+    pairs = (
+        _pairs_from_buckets(banded, "url", ["band", "band_key"], cfg.band_cap)
+        .select("src", "dst")
+        .dropDuplicates(["src", "dst"])
+    )
+    sigs = docs_with_sig.select("url", "simhash")
+    a = sigs.select(F.col("url").alias("src"), F.col("simhash").alias("sh_a"))
+    b = sigs.select(F.col("url").alias("dst"), F.col("simhash").alias("sh_b"))
+    ham = hamming_distance(F.col("sh_a"), F.col("sh_b"))
+    return (
+        pairs.join(a, "src")
+        .join(b, "dst")
+        .withColumn("ham", ham)
+        .filter(F.col("ham") <= cfg.simhash_max_hamming)
+        .select(
+            "src",
+            "dst",
+            (F.lit(1.0) - F.col("ham") / F.lit(float(cfg.simhash_bits))).alias("sim"),
+            F.lit("simhash").alias("pass_name"),
+        )
+    )
 
 
 def with_signatures(docs, cfg: DedupConfig = DEFAULT, text_col: str = "text"):

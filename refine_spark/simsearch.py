@@ -103,18 +103,59 @@ def brute_force_topk(
     )
 
 
-def make_hyperplane_udf(dim: int, n_planes: int = 16, cfg: DedupConfig = DEFAULT):
-    rng = np.random.RandomState(cfg.seed + 1)
-    planes = rng.standard_normal((dim, n_planes)).astype(np.float64)
+def rademacher_planes(dim: int, n_planes: int, table: int = 0) -> np.ndarray:
+    """Deterministic +/-1 ("Rademacher") hyperplanes derived from md5 —
+    sign-random-projection LSH is valid with +/-1 entries, and md5-derived
+    signs (unlike a numpy RandomState draw) are reproducible inside the
+    driver's DuckDB oracle, so the *approximate* bucketing itself is
+    correctness-gated. `table` namespaces independent planes for
+    OR-amplified multi-table schemes."""
+    import hashlib
+
+    planes = np.empty((dim, n_planes), dtype=np.float64)
+    for j in range(n_planes):
+        for d in range(dim):
+            h = hashlib.md5(f"{table}:{j}:{d}".encode()).hexdigest()
+            planes[d, j] = 1.0 if int(h[:15], 16) & 1 else -1.0
+    return planes
+
+
+def make_hyperplane_udf(
+    dim: int, n_planes: int = 16, cfg: DedupConfig = DEFAULT, table: int = 0
+):
+    """Random-hyperplane bucket id (one LSH table)."""
+    planes = rademacher_planes(dim, n_planes, table)
 
     @F.pandas_udf(T.LongType())
     def bucket_udf(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.to_numpy())  # (batch, dim)
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)  # (batch, dim)
         bits = (mat @ planes) > 0  # (batch, n_planes)
         weights = (1 << np.arange(n_planes, dtype=np.int64))
         return pd.Series((bits.astype(np.int64) * weights).sum(axis=1))
 
     return bucket_udf
+
+
+def _probe_masks(n_planes: int, radius: int) -> list[int]:
+    """All xor masks of hamming weight <= radius over n_planes bits
+    (multi-probe LSH: neighboring buckets differ in few sign bits)."""
+    masks = [0]
+    if radius >= 1:
+        masks += [1 << i for i in range(n_planes)]
+    if radius >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    if radius >= 3:
+        masks += [
+            (1 << i) | (1 << j) | (1 << l)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+            for l in range(j + 1, n_planes)
+        ]
+    return masks
 
 
 def lsh_topk(
@@ -123,27 +164,89 @@ def lsh_topk(
     dim: int,
     k: int = 10,
     n_planes: int = 12,
+    probe_radius: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cfg: DedupConfig = DEFAULT,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane bucket equi-join, then exact
     cosine rerank within the bucket. Recall rises with fewer planes
-    (bigger buckets) — callers trade cost for recall."""
+    (bigger buckets) and with multi-probing (probe_radius > 0 fans each
+    QUERY out to every bucket within that sign-bit hamming distance —
+    the corpus side stays single-bucket, so the corpus index is built
+    once and only the tiny query side is replicated)."""
     from pyspark.sql import Window as W
 
     bucket = make_hyperplane_udf(dim, n_planes, cfg)
     c = corpus.select(id_col, vec_col).withColumn("bucket", bucket(F.col(vec_col)))
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    ).withColumn("bucket", bucket(F.col("qvec")))
-    joined = c.join(q, "bucket").filter(F.col("query_id") != F.col(id_col))
+    ).withColumn("bucket0", bucket(F.col("qvec")))
+    masks = F.array(*[F.lit(m) for m in _probe_masks(n_planes, probe_radius)])
+    q = q.select(
+        "query_id",
+        "qvec",
+        F.explode(F.transform(masks, lambda m: F.col("bucket0").bitwiseXOR(m))).alias(
+            "bucket"
+        ),
+    )
+    joined = (
+        c.join(q, "bucket")
+        .filter(F.col("query_id") != F.col(id_col))
+        .dropDuplicates(["query_id", id_col])  # multi-probe re-finds pairs
+    )
     scored = joined.withColumn("cos", cosine(F.col("qvec"), F.col(vec_col)))
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "rank")
+    )
+
+
+def lsh_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 10,
+    n_tables: int = 8,
+    cfg: DedupConfig = DEFAULT,
+    dim: int | None = None,
+) -> DataFrame:
+    """Scale path for embedding near-dup pairs: OR-amplified multi-table
+    hyperplane LSH. Each table buckets the corpus with independent random
+    planes; candidate pairs come from same-bucket groups (one narrow
+    shuffle per table, hot buckets capped); the union of tables is
+    deduped, then verified with exact cosine. Approximate: a true pair is
+    missed only if it splits in every table — recall ~ 1-(1-p^b)^T rises
+    with n_tables. No collect, no broadcast of the corpus."""
+    from .candidates import _pairs_from_buckets
+
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    keyed = embeddings.select(id_col, vec_col)
+    banded = None
+    for t in range(n_tables):
+        bucket = make_hyperplane_udf(dim, n_planes, cfg, table=t)
+        part = keyed.select(
+            F.col(id_col).alias("url"),  # _pairs_from_buckets id col
+            F.lit(t).alias("tbl"),
+            bucket(F.col(vec_col)).alias("bucket"),
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    pairs = (
+        _pairs_from_buckets(banded, "url", ["tbl", "bucket"], cfg.band_cap)
+        .select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(cosine(F.col("vec_a"), F.col("vec_b")) >= threshold)
+        .select("id_a", "id_b")
     )
 
 
@@ -155,15 +258,21 @@ def cosine_dup_pairs(
     n_planes: int = 8,
     cfg: DedupConfig = DEFAULT,
     dim: int | None = None,
+    broadcast_max_rows: int = 2_000_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= t).
 
-    Exact path: one side broadcast as a normalized matrix, the other side
-    block-matmuls per partition (no O(N^2)-row shuffle, no interpreted
-    per-element expression). At a corpus too big to broadcast, swap in the
-    hyperplane-bucket join (lsh_topk's machinery) — multi-probe/repeat to
-    push recall."""
+    Exact path (corpus fits a broadcast): one side broadcast as a
+    normalized matrix, the other side block-matmuls per partition (no
+    O(N^2)-row shuffle, no interpreted per-element expression).
+    Above `broadcast_max_rows` the exact path would OOM the driver, so it
+    auto-switches to the OR-amplified hyperplane-bucket join
+    (lsh_dup_pairs) — approximate but fully distributed."""
     spark = embeddings.sparkSession
+    if embeddings.count() > broadcast_max_rows:
+        return lsh_dup_pairs(
+            embeddings, threshold, id_col, vec_col, cfg=cfg, dim=dim
+        )
     b_ids, b_mat = _broadcast_matrix(embeddings, id_col, vec_col)
     bc = spark.sparkContext.broadcast((b_ids, b_mat))
 

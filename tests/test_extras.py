@@ -64,6 +64,47 @@ def test_brute_force_topk_and_lsh(spark):
     assert [(r["id_a"], r["id_b"]) for r in dups.collect()] == [(0, 1)]
 
 
+def test_lsh_dup_pairs_recall(spark):
+    """The scale path (OR-amplified multi-table hyperplane LSH) must find
+    >=90% of planted high-cosine dup pairs, with zero false positives
+    (the exact-cosine verify filters candidates)."""
+    import numpy as np
+
+    from refine_spark.simsearch import lsh_dup_pairs
+
+    rng = np.random.RandomState(11)
+    n_base, dim = 150, 64
+    base = rng.standard_normal((n_base, dim))
+    rows, planted = [], set()
+    vid = 0
+    for i in range(n_base):
+        rows.append((vid, base[i].tolist()))
+        orig = vid
+        vid += 1
+        if i % 3 == 0:  # plant one near-dup (cos >= ~0.99)
+            noisy = base[i] + 0.05 * rng.standard_normal(dim)
+            rows.append((vid, noisy.tolist()))
+            planted.add((orig, vid))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_dup_pairs(df, threshold=0.95, n_planes=10, n_tables=8).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]) for r in cosine_dup_pairs(df, threshold=0.95).collect()
+    }
+    assert len(found & planted) / len(planted) >= 0.9
+    assert found <= exact  # verify step: no false positives
+
+    # the auto-switch: a tiny broadcast cap forces the LSH path
+    switched = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_dup_pairs(df, threshold=0.95, broadcast_max_rows=10).collect()
+    }
+    assert switched <= exact
+
+
 def test_multimodal_plumbing(spark):
     rows = [
         ("m1", "image", b"\x89PNG fake bytes" * 20, ("image/png", 4, 4, None)),
