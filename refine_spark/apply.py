@@ -60,6 +60,79 @@ def apply_rename_plan(
     )
 
 
+def apply_rename_with_dirs(
+    docs: DataFrame, plan: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Post-apply table for a plan that contains DIRECTORY rows
+    (DirsAndContent traversal — rename.rs:48 renames directories too):
+    a renamed directory carries its content, so every descendant url
+    rewrites the corresponding path segment.
+
+    The reference applies deepest-first so a dir rename never
+    invalidates a deeper pending rename (O4, rename.rs apply order);
+    declaratively that collapses to "each ancestor segment maps
+    independently by its ORIGINAL prefix path". Plan needs (url, name,
+    new_name, changed, blocked, is_dir); dir rows use the scheme-less
+    prefix path as url (universe.entry_universe convention).
+
+    One explode + one join + one groupBy over the file table — linear,
+    no iteration over depth."""
+    scheme = F.regexp_extract(F.col(url_col), r"^([a-z][a-z0-9+.\-]*://)", 1)
+    segs = F.split(F.regexp_replace(F.col(url_col), r"^[a-z][a-z0-9+.\-]*://", ""), "/")
+
+    live = plan.filter(F.col("changed") & ~F.col("blocked"))
+    dir_map = live.filter(F.col("is_dir")).select(
+        F.col(url_col).alias("prefix"), F.col("new_name").alias("dir_new")
+    )
+    file_map = live.filter(~F.col("is_dir")).select(
+        F.col(url_col).alias("furl"), F.col("new_name").alias("leaf_new")
+    )
+
+    base = docs.withColumn("_segs", segs).withColumn("_scheme", scheme)
+    # ancestor prefixes at levels 1..L-1 (level i renames segment i+1)
+    alevels = F.when(
+        F.size("_segs") >= 3, F.sequence(F.lit(1), F.size("_segs") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    pref = base.select(
+        F.col(url_col),
+        F.explode(alevels).alias("lvl"),
+        F.array_join(F.slice("_segs", 1, F.col("lvl") + 1), "/").alias("prefix"),
+    )
+    hits = (
+        pref.join(dir_map, "prefix")
+        .groupBy(url_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("lvl"), F.col("dir_new")))
+            ).alias("_seg_map")
+        )
+    )
+    joined = (
+        base.join(hits, url_col, "left")
+        .join(file_map, base[url_col] == F.col("furl"), "left")
+        .drop("furl")
+    )
+    new_segs = F.transform(
+        "_segs",
+        lambda s, i: F.when(
+            i == F.size("_segs") - 1, F.coalesce(F.col("leaf_new"), s)
+        ).otherwise(
+            F.coalesce(
+                F.when(
+                    F.col("_seg_map").isNotNull(), F.element_at("_seg_map", i)
+                ),
+                s,
+            )
+        ),
+    )
+    return (
+        joined.withColumn(
+            url_col, F.concat(F.col("_scheme"), F.array_join(new_segs, "/"))
+        )
+        .drop("_segs", "_scheme", "_seg_map", "leaf_new")
+    )
+
+
 def atomic_overwrite(df: DataFrame, table_dir: str) -> str:
     """Snapshot-commit a table directory: write beside, swap atomically.
 
@@ -74,6 +147,32 @@ def atomic_overwrite(df: DataFrame, table_dir: str) -> str:
         os.rename(table_dir, backup)
     os.rename(staging, table_dir)
     return table_dir
+
+
+def empty_parents(
+    before: DataFrame, after: DataFrame, junk: tuple[str, ...] = (".DS_Store",),
+    url_col: str = "url",
+) -> DataFrame:
+    """S10: directory prefixes emptied by an apply (join.rs:215-237).
+
+    The reference removes source dirs left empty after moving files out
+    (deepest-first, treating a lone .DS_Store as empty). The table analog
+    compares the prefix universes before/after: a prefix with rows before
+    and none after (ignoring junk leaf names) is reported for removal,
+    deepest (longest) first. Pure aggregate — two narrow shuffles."""
+    from .universe import dir_rows
+
+    live_after = after.filter(
+        ~F.element_at(F.split(F.col(url_col), "/"), -1).isin(*junk)
+    )
+    gone = dir_rows(before.select(F.col(url_col).alias("url"))).select(
+        "path", "level"
+    ).join(
+        dir_rows(live_after.select(F.col(url_col).alias("url"))).select("path"),
+        "path",
+        "left_anti",
+    )
+    return gone.orderBy(F.desc("level"), "path").select("path", "level")
 
 
 def quarantine_split(

@@ -70,14 +70,20 @@ def natural_sorted(df: DataFrame, col_name: str) -> DataFrame:
 def list_plan(
     docs: DataFrame, by: str = "size", rev: bool = False
 ) -> DataFrame:
-    """O2 multi-criteria listing over (url, name, size).
+    """O2 multi-criteria listing over (url, name, size[, count]).
 
-    by in (size, name, path); default order size desc, name/path asc;
-    secondary sort is always natural path order."""
-    assert by in ("size", "name", "path")
+    by in (size, count, name, path) mirroring list.rs:28-37; size and
+    count default to descending (the ORDERING rev-defaults,
+    list.rs:45-50), name/path to ascending; `rev` flips the default.
+    Secondary sort is always natural path order (list.rs:91-93).
+    `count` is the per-entry file count (1 for files, the recursive
+    count for dir rows — see dir_totals); nulls sort last like the
+    reference's Option<u64> under reversed cmp."""
+    assert by in ("size", "count", "name", "path")
     secondary = natural_key(F.col("url"))
-    if by == "size":
-        primary = F.col("size").desc() if not rev else F.col("size").asc()
+    if by in ("size", "count"):
+        c = F.col(by)
+        primary = (c.desc_nulls_last() if not rev else c.asc_nulls_first())
     elif by == "name":
         k = natural_key(F.col("name"))
         primary = k.asc() if not rev else k.desc()

@@ -39,13 +39,55 @@ def deduped_names(df: DataFrame, pick: str | None = None) -> DataFrame:
     return names
 
 
+def probe_one(
+    name: str,
+    prober: Callable[[str], int],
+    retries: int = 2,
+    min_wait_ms: int = 1000,
+    backoff: float = 2.0,
+    max_wait_ms: int = 30_000,
+    sleeper: Callable[[float], None] | None = None,
+) -> Verdict:
+    """Reference retry loop (probe.rs:161-202): 200/403 -> valid,
+    404 -> invalid; anything else (429, other statuses, transport
+    errors) retries after an exponential wait
+    wait = min(wait * backoff, max_wait), failing once retry > retries
+    (retries < 0 retries indefinitely). `sleeper` is injected so tests
+    pin the schedule without real sleeps."""
+    import time
+
+    sleeper = sleeper or time.sleep
+    wait = min_wait_ms
+    retry = 0
+    while True:
+        try:
+            status = prober(name)
+        except Exception:
+            status = None
+        if status in (200, 403):
+            return "valid"
+        if status == 404:
+            return "invalid"
+        retry += 1
+        if retries >= 0 and retry > retries:
+            return "failed"
+        sleeper(wait / 1000.0)
+        wait = min(int(wait * backoff), max_wait_ms)
+
+
 def probe_names(
     names: DataFrame,
     prober: Callable[[str], int] | None = None,
     max_retries: int = 2,
+    min_wait_ms: int = 1000,
+    backoff: float = 2.0,
+    max_wait_ms: int = 30_000,
+    sleeper: Callable[[float], None] | None = None,
 ) -> DataFrame:
     """Attach a verdict per name. `prober(name) -> HTTP status code`
-    (may raise; raises are retried then recorded as 'failed')."""
+    (may raise; raises retry with exponential backoff, probe.rs:190-202).
+    Each partition probes its names sequentially, so cluster-wide request
+    concurrency == partition count — the scale knob."""
     if prober is None:
         raise ValueError(
             "no prober injected: this sandbox has no network; pass a callable"
@@ -53,21 +95,13 @@ def probe_names(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            verdicts = []
-            for name in pdf["name"]:
-                verdict: Verdict = "failed"
-                for _ in range(max_retries + 1):
-                    try:
-                        status = prober(name)
-                    except Exception:
-                        continue
-                    if status in (200, 403):
-                        verdict = "valid"
-                        break
-                    if status == 404:
-                        verdict = "invalid"
-                        break
-                verdicts.append(verdict)
+            verdicts = [
+                probe_one(
+                    name, prober, max_retries, min_wait_ms, backoff,
+                    max_wait_ms, sleeper,
+                )
+                for name in pdf["name"]
+            ]
             yield pd.DataFrame({"name": pdf["name"], "verdict": verdicts})
 
     return names.mapInPandas(run, "name string, verdict string")

@@ -93,14 +93,23 @@ def run_incremental_dedup(
     state_dir: str,
     cfg: DedupConfig = DEFAULT,
     schema=None,
+    compact_every: int = 16,
 ):
     """readStream over a parquet drop directory; per micro-batch match +
     index update via foreachBatch. Returns the StreamingQuery.
 
     State tables live under state_dir/{exact,lsh}; the streaming
     checkpoint under state_dir/_checkpoint makes restarts exactly-once.
-    """
+
+    Scale contract (round-2 fix): each micro-batch APPENDS only the
+    batch's novel keys — per-batch write volume is O(batch), never
+    O(corpus). Appending only keys absent from the current index keeps
+    each key unique (foreachBatch batches are serial), so reads need no
+    dedup; every `compact_every` batches the accumulated small files are
+    rewritten once via atomic snapshot swap (the Iceberg-compaction
+    analog) to bound file counts."""
     from . import schema as schemas
+    from .apply import atomic_overwrite
 
     schema = schema or schemas.DOCUMENTS
     exact_path = os.path.join(state_dir, "exact")
@@ -125,20 +134,21 @@ def run_incremental_dedup(
         novel = batch.join(
             matched.filter(F.col("rep").isNotNull()).select("url"), "url", "left_anti"
         ).localCheckpoint(eager=True)
-        if novel.isEmpty():
-            return
-        exact_index(novel, cfg).unionByName(exact_idx).groupBy("sample_key").agg(
-            F.min("rep").alias("rep")
-        ).write.mode("overwrite").parquet(exact_path + ".new")
-        lsh_index(novel, cfg).unionByName(lsh_idx).groupBy("band", "band_key").agg(
-            F.min("rep").alias("rep")
-        ).write.mode("overwrite").parquet(lsh_path + ".new")
-        for p in (exact_path, lsh_path):
-            import shutil
-
-            if os.path.exists(p):
-                shutil.rmtree(p)
-            os.rename(p + ".new", p)
+        if not novel.isEmpty():
+            # append ONLY keys the index does not already hold: O(batch)
+            exact_index(novel, cfg).join(
+                exact_idx, "sample_key", "left_anti"
+            ).write.mode("append").parquet(exact_path)
+            lsh_index(novel, cfg).join(
+                lsh_idx, ["band", "band_key"], "left_anti"
+            ).write.mode("append").parquet(lsh_path)
+        if batch_id > 0 and batch_id % compact_every == 0:
+            for p, ddl in (
+                (exact_path, "sample_key string, rep string"),
+                (lsh_path, "band int, band_key long, rep string"),
+            ):
+                if os.path.exists(p):
+                    atomic_overwrite(_load(p, ddl).coalesce(8), p)
 
     stream = (
         spark.readStream.schema(schema)

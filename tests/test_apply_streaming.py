@@ -77,3 +77,78 @@ def test_incremental_dedup_two_batches(spark, tmp_path):
     n_matched = reposts.filter(F.col("rep").isNotNull()).count()
     assert reposts.count() == 20
     assert n_matched == 20, f"only {n_matched}/20 reposted docs matched the index"
+
+    # scale contract: batch N's index write is O(batch), not O(corpus) —
+    # batch-1 parquet files must survive batch 2 untouched (append, no
+    # rewrite), and no key may be duplicated by the appends
+    exact_files = {
+        f for f in os.listdir(os.path.join(state, "exact")) if f.endswith(".parquet")
+    }
+    third = docs.iloc[:10].copy()
+    third["url"] = third["url"] + "?repost=2"
+    extra = docs.iloc[half:].copy()  # genuinely novel docs
+    batch3 = spark.createDataFrame(
+        __import__("pandas").concat([third, extra]), schema=schema.DOCUMENTS
+    )
+    batch3.write.mode("append").parquet(os.path.join(in_dir, "batch3"))
+    q3 = run_incremental_dedup(spark, in_dir + "/*", state)
+    q3.awaitTermination(120)
+
+    exact_files_after = {
+        f for f in os.listdir(os.path.join(state, "exact")) if f.endswith(".parquet")
+    }
+    assert exact_files <= exact_files_after, "append must not rewrite old files"
+    idx = spark.read.parquet(os.path.join(state, "exact"))
+    assert idx.count() == idx.select("sample_key").distinct().count()
+
+
+def test_empty_parents(spark):
+    from refine_spark.apply import empty_parents
+
+    before = spark.createDataFrame(
+        [("http://h/a/x.mp4",), ("http://h/a/b/y.mp4",), ("http://h/c/z.mp4",)],
+        "url string",
+    )
+    after = spark.createDataFrame(
+        # a/ emptied entirely (junk-only leaf left behind); c/ kept
+        [("http://h/a/b/.DS_Store",), ("http://h/c/z.mp4",), ("http://h/joined/all.mp4",)],
+        "url string",
+    )
+    got = [r["path"] for r in empty_parents(before, after).collect()]
+    assert got == ["h/a/b", "h/a"]  # deepest first (join.rs:217-218)
+
+
+def test_probe_backoff_schedule(spark):
+    from refine_spark.probe import probe_one
+
+    waits: list[float] = []
+    calls = {"n": 0}
+
+    def flaky(name: str) -> int:
+        calls["n"] += 1
+        if calls["n"] < 4:
+            return 429
+        return 200
+
+    v = probe_one(
+        "x", flaky, retries=5, min_wait_ms=100, backoff=2.0,
+        max_wait_ms=350, sleeper=waits.append,
+    )
+    # probe.rs:190-202: wait doubles, capped at max_wait
+    assert v == "valid"
+    assert waits == [0.1, 0.2, 0.35]
+
+    def always_500(name: str) -> int:
+        return 500
+
+    w2: list[float] = []
+    assert (
+        probe_one("x", always_500, retries=2, min_wait_ms=10, sleeper=w2.append)
+        == "failed"
+    )
+    assert len(w2) == 2  # retries exhausted after `retries` sleeps
+
+    def boom(name: str) -> int:
+        raise OSError("transport")
+
+    assert probe_one("x", boom, retries=0, sleeper=w2.append) == "failed"
