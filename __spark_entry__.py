@@ -24,7 +24,10 @@ from refine_spark.analysis import (
     LANG_MARKERS, bpe_ish_count, doc_fingerprint, lang_id, quality_stats,
     token_count,
 )
-from refine_spark.clean import cleaned_name_cols
+from refine_spark.clean import _KIND_BY_EXT, classify_kind, cleaned_name_cols
+from refine_spark.exact import three_point_sample
+from refine_spark.naming import apply_naming, compile_rules
+from refine_spark.probe import deduped_names
 from refine_spark.cluster import connected_components
 from refine_spark.config import DedupConfig, STOPWORDS, TAGS_MULTI_PATTERN
 from refine_spark.listing import NATURAL_KEY_DUCKDB, natural_key
@@ -64,6 +67,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _STOPWORD_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+# a fixed probe of the kind table: one ext per kind + an unknown one
+_KIND_EXTS = ("mp4", "mp3", "jpg", "txt", "pdf", "zip", "srt", "exe", "xyz")
 _LANG_SQL_HITS = {
     lang: "len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
     f"t -> t IN ({', '.join(repr(m) for m in markers)})))"
@@ -312,6 +317,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["clean_names"] = clean_names
 
+    def kind_classes(spark, sf):
+        # P5 media-kind classification (dupes.rs:559-585) over synthetic
+        # extensions derived deterministically from doc_id
+        docs = _read(spark, sf, "documents")
+        exts = F.array(*[F.lit(e) for e in _KIND_EXTS])
+        ext = F.element_at(exts, (F.col("doc_id") % len(_KIND_EXTS) + 1).cast("int"))
+        return docs.select(
+            "doc_id", ext.alias("ext"), classify_kind(ext).alias("kind")
+        )
+
+    q["kind_classes"] = kind_classes
+
+    def naming_rules(spark, sf):
+        # N1-N7 rule chain (naming.rs:44-118): strip-exact + replace +
+        # throw over release-style names built from p_name; RE2-safe
+        # patterns so DuckDB replays the same rewrite chain
+        part = _read(spark, sf, "part")
+        name = F.concat(
+            F.lower(F.regexp_replace("p_name", " ", ".")),
+            F.when(F.col("p_partkey") % 3 == 0, F.lit(".720p")).otherwise(F.lit("")),
+            F.when(F.col("p_partkey") % 4 == 0, F.lit(".x264")).otherwise(F.lit("")),
+        )
+        rules = compile_rules(
+            strip_exact=["720p", "x264"],
+            replace=[("almond", "amande")],
+        )
+        named = part.select("p_partkey", name.alias("new_name"))
+        return apply_naming(named, rules).select(
+            "p_partkey", "new_name", F.col("blocked").cast("long").alias("blocked")
+        )
+
+    q["naming_rules"] = naming_rules
+
+    def sample_hashes(spark, sf):
+        # S6 3-point byte sample (dupes.rs:460-501) at sample_bytes=96 so
+        # both branches (whole content vs 3-slice concat) are exercised;
+        # the oracle recomputes the same slices + sha256 over the text
+        docs = _read(spark, sf, "documents")
+        html = F.encode("text", "UTF-8")
+        return docs.select(
+            "doc_id", F.sha2(three_point_sample(html, 96), 256).alias("sample_hash")
+        )
+
+    q["sample_hashes"] = sample_hashes
+
+    def probe_dedup_names(spark, sf):
+        # A11 probe name dedup (probe.rs:105-107): distinct canonical
+        # names after collection-grammar sequence stripping
+        part = _read(spark, sf, "part")
+        slug = F.concat(
+            F.lower(F.regexp_replace("p_name", " ", "_")),
+            F.lit("~"),
+            (F.col("p_partkey") % 40).cast("string"),
+        )
+        stems = part.select(slug.alias("stem"))
+        return deduped_names(stems)
+
+    q["probe_dedup_names"] = probe_dedup_names
+
     # ---- scan / filter / grammar ----------------------------------------
 
     def fetch_filter(spark, sf):
@@ -555,6 +619,31 @@ simhashes AS (
 """.strip()
 
 
+def _kind_case_sql() -> str:
+    """CASE expression generated from the SAME lookup table the Spark
+    operator uses (clean._KIND_BY_EXT) — lockstep by construction."""
+    by_kind: dict[str, list[str]] = {}
+    for ext, kind in _KIND_BY_EXT.items():
+        by_kind.setdefault(kind, []).append(ext)
+    arms = " ".join(
+        f"WHEN ext IN ({', '.join(repr(e) for e in sorted(exts))}) THEN '{kind}'"
+        for kind, exts in sorted(by_kind.items())
+    )
+    return f"CASE {arms} ELSE 'unknown' END"
+
+
+def _naming_rules_sql(expr: str) -> str:
+    """Fold the SAME compiled rule chain the Spark query applies into
+    nested DuckDB regexp_replace calls ('g' = replace-all like Spark;
+    patterns carry their own (?i) and are RE2-safe by construction)."""
+    rules = compile_rules(strip_exact=["720p", "x264"], replace=[("almond", "amande")])
+    out = expr
+    for pattern, repl in rules:
+        p = pattern.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{repl}', 'g')"
+    return out
+
+
 def oracle_sql() -> dict[str, str]:
     nat_key = NATURAL_KEY_DUCKDB.format(col="p_name")
     grammar_pat = r"^(\w+)(?:\+(\w+))?~(\d+)(.*)$"
@@ -772,6 +861,49 @@ def oracle_sql() -> dict[str, str]:
                             '[a-zA-Z0-9]+'),
                         t -> t NOT IN ({_STOPWORD_SQL})) AS toks
                 FROM (SELECT doc_id, lower(text) AS base FROM documents)
+            )
+        """,
+        "kind_classes": f"""
+            SELECT doc_id, ext, {_kind_case_sql()} AS kind FROM (
+                SELECT doc_id,
+                       ({list(_KIND_EXTS)!r})[CAST(doc_id % {len(_KIND_EXTS)} + 1 AS INTEGER)] AS ext
+                FROM documents
+            )
+        """,
+        "naming_rules": f"""
+            SELECT p_partkey, new_name,
+                   CAST(CASE WHEN new_name = '' THEN 1 ELSE 0 END AS BIGINT)
+                       AS blocked
+            FROM (
+                SELECT p_partkey, {_naming_rules_sql("nm")} AS new_name FROM (
+                    SELECT p_partkey,
+                           lower(replace(p_name, ' ', '.'))
+                           || CASE WHEN p_partkey % 3 = 0 THEN '.720p' ELSE '' END
+                           || CASE WHEN p_partkey % 4 = 0 THEN '.x264' ELSE '' END
+                               AS nm
+                    FROM part
+                )
+            )
+        """,
+        "sample_hashes": """
+            SELECT doc_id,
+                   CASE WHEN length(text) <= 96 THEN sha256(text)
+                        ELSE sha256(
+                            substring(text, 1, 32)
+                            || substring(text, length(text) // 2 - 16 + 1, 32)
+                            || substring(text, length(text) - 32 + 1, 32))
+                   END AS sample_hash
+            FROM documents
+        """,
+        "probe_dedup_names": f"""
+            SELECT DISTINCT
+                CASE WHEN regexp_matches(slug, '{grammar_pat}')
+                     THEN regexp_extract(slug, '{grammar_pat}', 1)
+                     ELSE slug END AS name
+            FROM (
+                SELECT lower(replace(p_name, ' ', '_')) || '~'
+                           || CAST(p_partkey % 40 AS VARCHAR) AS slug
+                FROM part
             )
         """,
         "fetch_filter": """

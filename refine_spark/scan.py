@@ -113,7 +113,9 @@ def _axis_col(axis: str) -> Column:
     if axis == "ext":
         return ext_of(name)
     if axis == "path":
-        return F.col("url")
+        # for FILE entries the reference tests the PARENT's full path,
+        # not the file's own (filter.rs:82: path.is_match(parent.to_str()))
+        return F.regexp_replace(F.col("url"), r"/[^/]*$", "")
     if axis == "dir":
         # parent segment of the leaf
         parts = F.split(F.col("url"), "/")
