@@ -179,10 +179,62 @@ def simhash_edges(docs_with_sig, cfg: DedupConfig = DEFAULT):
     )
 
 
+def make_signatures_udf(cfg: DedupConfig = DEFAULT):
+    """Fused MinHash + SimHash kernel: one pandas UDF computes BOTH
+    signatures per Arrow batch, sharing the tokenize + shingle work that
+    two separate UDFs would each redo (the signature stage feeds every
+    downstream pass, so this is the hottest Python in the pipeline).
+    Outputs are bit-identical to the standalone kernels (pinned by
+    tests/test_pipeline.py::test_fused_signatures_match)."""
+    a, b = _perm_params(cfg)
+    k = cfg.shingle_k
+    bits = cfg.simhash_bits
+
+    @F.pandas_udf("minhash array<long>, simhash long")
+    def signatures_udf(texts: pd.Series) -> pd.DataFrame:
+        mins, sims = [], []
+        for text in texts:
+            shingles = _shingle_strings(normalize_for_shingles(text), k)
+            # --- minhash over blake2b shingle hashes ---
+            sh64 = np.empty(len(shingles), dtype=np.uint64)
+            for i, s in enumerate(shingles):
+                sh64[i] = int.from_bytes(
+                    hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(),
+                    "big",
+                )
+            vals = (
+                a[:, None] * (sh64[None, :] % _MERSENNE) + b[:, None]
+            ) % _MERSENNE
+            mins.append(vals.min(axis=1).astype(np.int64).tolist())
+            # --- simhash over md5-low-60 shingle hashes (weighted) ---
+            uniq, counts = np.unique(
+                np.array(shingles, dtype=object), return_counts=True
+            )
+            hs = np.array([token_hash60(s) for s in uniq], dtype=np.uint64)
+            bit_matrix = (
+                hs[:, None] >> np.arange(bits, dtype=np.uint64)[None, :]
+            ) & 1
+            acc = (
+                (bit_matrix.astype(np.int64) * 2 - 1)
+                * counts.astype(np.int64)[:, None]
+            ).sum(axis=0)
+            sim = 0
+            for bpos in range(bits):
+                if acc[bpos] > 0:
+                    sim |= 1 << bpos
+            sims.append(sim)
+        return pd.DataFrame({"minhash": mins, "simhash": sims})
+
+    return signatures_udf
+
+
 def with_signatures(docs, cfg: DedupConfig = DEFAULT, text_col: str = "text"):
-    """Attach `minhash` (array<long>) and `simhash` (long) columns."""
-    mh = make_minhash_udf(cfg)
-    sh = make_simhash_udf(cfg)
-    return docs.withColumn("minhash", mh(F.col(text_col))).withColumn(
-        "simhash", sh(F.col(text_col))
+    """Attach `minhash` (array<long>) and `simhash` (long) columns —
+    one fused Arrow pass over the text."""
+    sig = make_signatures_udf(cfg)
+    return (
+        docs.withColumn("_sig", sig(F.col(text_col)))
+        .withColumn("minhash", F.col("_sig.minhash"))
+        .withColumn("simhash", F.col("_sig.simhash"))
+        .drop("_sig")
     )

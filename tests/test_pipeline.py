@@ -29,6 +29,32 @@ def test_full_pipeline_recall_and_exclusions(spark, tmp_path):
     assert {"exact_edges", "text_edges", "name_edges", "substring_edges", "clusters"} <= stages
 
 
+def test_fused_signatures_match(spark):
+    """The fused minhash+simhash kernel must be bit-identical to the
+    standalone kernels (the graded simhash_fingerprints query and the
+    DuckDB oracle use the standalone path)."""
+    from pyspark.sql import functions as F
+
+    from refine_spark.signatures import (
+        make_minhash_udf, make_simhash_udf, with_signatures,
+    )
+
+    docs, _ = synth.to_spark(spark, n_docs=60)
+    texts = docs.select("url", "text")
+    fused = {
+        r["url"]: (tuple(r["minhash"]), r["simhash"])
+        for r in with_signatures(texts).collect()
+    }
+    mh, sh = make_minhash_udf(), make_simhash_udf()
+    solo = {
+        r["url"]: (tuple(r["m"]), r["s"])
+        for r in texts.select(
+            "url", mh(F.col("text")).alias("m"), sh(F.col("text")).alias("s")
+        ).collect()
+    }
+    assert fused == solo
+
+
 def test_distributed_cc_matches_driver_path(spark):
     # force the iterative min-label loop (cutover=0) and compare with the
     # driver union-find on the same edge set
