@@ -362,6 +362,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sample_hashes"] = sample_hashes
 
+    def sequential_groups(spark, sf):
+        # A7 sequential-group detector (dupes.rs:332-405) over synthetic
+        # name groups with three planted behaviors: no-numbers groups
+        # (not sequential), varying-episode groups (sequential), and
+        # constant-number groups (not sequential). The oracle replays
+        # the detector's exact arithmetic in SQL.
+        from refine_spark.cluster import sequential_cluster_ids
+
+        part = _read(spark, sf, "part")
+        g = F.col("p_partkey") % 30
+        name = (
+            F.when(g % 3 == 0, F.col("p_name"))
+            .when(
+                g % 3 == 1,
+                F.concat(F.lit("show ep "), (F.col("p_partkey") % 7).cast("string")),
+            )
+            .otherwise(F.concat(F.lit("fixed 42 "), F.col("p_name")))
+        )
+        labels = part.select(
+            F.col("p_partkey").cast("string").alias("url"),
+            g.cast("string").alias("cluster_id"),
+        )
+        named = part.select(
+            F.col("p_partkey").cast("string").alias("url"),
+            name.alias("cleaned_name"),
+        )
+        return sequential_cluster_ids(labels, named)
+
+    q["sequential_groups"] = sequential_groups
+
     def probe_dedup_names(spark, sf):
         # A11 probe name dedup (probe.rs:105-107): distinct canonical
         # names after collection-grammar sequence stripping
@@ -466,6 +496,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["events_user_stats"] = events_user_stats
+
+    def events_sessionize(spark, sf):
+        # gap-based sessionization (30-min gap): lag + running sum, one
+        # shuffle for both window passes
+        from refine_spark.analysis import sessionize
+
+        events = _read(spark, sf, "events")
+        return sessionize(events).select(
+            "user_id", "event_id", "session_seq", "session_event_seq"
+        )
+
+    q["events_sessionize"] = events_sessionize
 
     def events_session_seq(spark, sf):
         events = _read(spark, sf, "events")
@@ -895,6 +937,67 @@ def oracle_sql() -> dict[str, str]:
                    END AS sample_hash
             FROM documents
         """,
+        "sequential_groups": """
+            -- dupes.rs:332-405 replayed: digit-run vectors per name,
+            -- >10%-without-numbers veto, most-common length with
+            -- (count, length) tiebreak, +/-1 length tolerance, and the
+            -- exists-a-varying-position test
+            WITH named AS (
+                SELECT CAST(p_partkey % 30 AS VARCHAR) AS g,
+                       CASE WHEN (p_partkey % 30) % 3 = 0 THEN p_name
+                            WHEN (p_partkey % 30) % 3 = 1
+                                THEN 'show ep ' || CAST(p_partkey % 7 AS VARCHAR)
+                            ELSE 'fixed 42 ' || p_name END AS name
+                FROM part
+            ),
+            seqs AS (
+                SELECT g, name,
+                       list_transform(regexp_extract_all(name, '[0-9]+'),
+                           s -> CASE WHEN length(s) < 19
+                                     THEN CAST(s AS BIGINT) ELSE -1 END) AS nums
+                FROM named
+            ),
+            base AS (
+                SELECT g, count(*) AS n_total,
+                       sum(CASE WHEN len(nums) = 0 THEN 1 ELSE 0 END) AS n_without
+                FROM seqs GROUP BY g
+            ),
+            lens AS (
+                SELECT g, len(nums) AS l, count(*) AS c
+                FROM seqs WHERE len(nums) > 0 GROUP BY g, len(nums)
+            ),
+            common_len AS (
+                SELECT g, l FROM (
+                    SELECT g, l, row_number() OVER (
+                        PARTITION BY g ORDER BY c DESC, l DESC) AS rk
+                    FROM lens
+                ) WHERE rk = 1
+            ),
+            common AS (
+                SELECT s.g, s.nums, cl.l AS common_len
+                FROM seqs s JOIN common_len cl ON s.g = cl.g
+                WHERE len(s.nums) > 0 AND abs(len(s.nums) - cl.l) <= 1
+            ),
+            varying AS (
+                SELECT g, count(*) AS n_varying FROM (
+                    SELECT c.g, pos, count(DISTINCT c.nums[pos + 1]) AS nd
+                    FROM common c,
+                         (SELECT unnest(range(0, 40)) AS pos) p
+                    WHERE pos < c.common_len AND pos < len(c.nums)
+                    GROUP BY c.g, pos HAVING count(DISTINCT c.nums[pos + 1]) > 1
+                ) GROUP BY g
+            )
+            SELECT b.g AS cluster_id
+            FROM base b
+            JOIN common_len cl ON b.g = cl.g
+            JOIN (SELECT g, count(*) AS n_common FROM common GROUP BY g) nc
+              ON b.g = nc.g
+            JOIN varying v ON b.g = v.g
+            WHERE b.n_total >= 2
+              AND NOT (b.n_without > 1 AND b.n_without * 10 > b.n_total)
+              AND cl.l > 0
+              AND nc.n_common >= 2
+        """,
         "probe_dedup_names": f"""
             SELECT DISTINCT
                 CASE WHEN regexp_matches(slug, '{grammar_pat}')
@@ -965,6 +1068,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_errors
             FROM events GROUP BY user_id
+        """,
+        "events_sessionize": """
+            SELECT user_id, event_id, session_seq,
+                   CAST(row_number() OVER (
+                       PARTITION BY user_id, session_seq
+                       ORDER BY ts, event_id) AS BIGINT) AS session_event_seq
+            FROM (
+                SELECT user_id, event_id, ts,
+                       CAST(sum(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+                FROM (
+                    SELECT user_id, event_id, ts,
+                           CASE WHEN lag(ts) OVER (
+                                    PARTITION BY user_id ORDER BY ts, event_id)
+                                    IS NULL THEN 1
+                                WHEN date_diff('second',
+                                    lag(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id),
+                                    ts) > 1800 THEN 1
+                                ELSE 0 END AS new_sess
+                    FROM events
+                )
+            )
         """,
         "events_session_seq": """
             SELECT user_id, event_id,

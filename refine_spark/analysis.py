@@ -85,3 +85,38 @@ def doc_fingerprint(text: Column) -> Column:
     matching live in substring.py."""
     normalized = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
     return F.md5(normalized)
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the user's previous event exceeds `gap_seconds`.
+
+    The classic lag + running-sum formulation — two window passes over
+    the same (user, ts) partitioning, so Catalyst plans ONE shuffle and
+    both windows run in the same sort. Batch analog of Structured
+    Streaming's session_window aggregation (the streaming path would use
+    F.session_window with a watermark); expressed this way the DuckDB
+    oracle replays it verbatim. Adds (session_seq, session_event_seq).
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(user_col).orderBy(ts_col, tie_col)
+    prev = F.lag(ts_col).over(w)
+    new_sess = (
+        prev.isNull()
+        | (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev) > gap_seconds)
+    ).cast("long")
+    out = events.withColumn("_new", new_sess).withColumn(
+        "session_seq",
+        F.sum("_new").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    ws = W.partitionBy(user_col, "session_seq").orderBy(ts_col, tie_col)
+    return out.withColumn(
+        "session_event_seq", F.row_number().over(ws).cast("long")
+    ).drop("_new")

@@ -1,17 +1,29 @@
-"""Multimodal column plumbing: opaque binary media + typed metadata.
+"""Multimodal columns: opaque binary media + typed metadata + REAL codecs.
 
 Extensions beyond the reference (per the build brief). Image/audio/video
 payloads are opaque `binary` columns with a typed metadata struct; the
 Spark-side machinery — schema, partition sizing, mapInPandas batch shape,
-UDF signatures — is real and tested. The actual codec kernels are STUBBED
-(this container ships no image/audio libraries): decode attempts raise
-NotImplementedError unless `deterministic_fake=True`, which produces a
-seed-stable fake feature vector so pipelines exercise end-to-end.
+UDF signatures — is real and tested.
+
+Codec status (round 2 — no longer stubbed):
+  WAV  REAL decode via the stdlib `wave` module + numpy PCM parsing
+       (channels, sample rate, duration, RMS/peak features).
+  PNG  REAL decode AND encode in pure stdlib+numpy: zlib-inflated IDAT,
+       full scanline unfiltering (none/sub/up/average/paeth) for 8-bit
+       gray/RGB/RGBA non-interlaced images; encode writes filter-0 rows.
+       Enables a real nearest-neighbor `resize` round-trip.
+  other formats (jpeg/mp3/mp4...) need codec libraries this container
+       does not ship: decode raises NotImplementedError unless
+       `deterministic_fake=True` (seed-stable fake features so pipelines
+       exercise end-to-end).
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -40,34 +52,181 @@ MEDIA_SCHEMA = T.StructType(
 
 FEATURE_DIM = 16
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+# --------------------------------------------------------------------------
+# PNG codec (pure stdlib + numpy)
+# --------------------------------------------------------------------------
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit gray/RGB/RGBA non-interlaced PNG to (H, W, C) uint8.
+
+    Real decoder: parses chunks, inflates IDAT, and reverses the five
+    scanline filters per the PNG spec §9 (numpy row loop — rows depend on
+    the previous reconstructed row, so the loop is inherent)."""
+    if payload[:8] != _PNG_MAGIC:
+        raise NotImplementedError("not a PNG payload")
+    pos, idat, meta = 8, b"", None
+    while pos < len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            w, h, depth, color, _, _, interlace = struct.unpack(">IIBBBBB", data)
+            if depth != 8 or color not in _PNG_CHANNELS or interlace:
+                raise NotImplementedError("only 8-bit non-interlaced PNG supported")
+            meta = (w, h, _PNG_CHANNELS[color])
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if meta is None:
+        raise NotImplementedError("PNG missing IHDR")
+    w, h, c = meta
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    stride = w * c + 1
+    rows = raw.reshape(h, stride)
+    out = np.zeros((h, w * c), dtype=np.uint8)
+    for y in range(h):
+        filt, line = rows[y, 0], rows[y, 1:].astype(np.int16)
+        prev = out[y - 1].astype(np.int16) if y else np.zeros(w * c, dtype=np.int16)
+        cur = np.zeros(w * c, dtype=np.int16)
+        if filt == 0:  # none
+            cur = line
+        elif filt == 2:  # up
+            cur = (line + prev) & 0xFF
+        else:  # sub / average / paeth need the left pixel -> scalar loop
+            for i in range(w * c):
+                a = cur[i - c] if i >= c else 0
+                b = prev[i]
+                if filt == 1:
+                    rec = line[i] + a
+                elif filt == 3:
+                    rec = line[i] + ((a + b) >> 1)
+                else:  # paeth
+                    cc = prev[i - c] if i >= c else 0
+                    p = a + b - cc
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                    rec = line[i] + pred
+                cur[i] = rec & 0xFF
+        out[y] = cur.astype(np.uint8)
+    return out.reshape(h, w, c)
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Encode (H, W, C) uint8 (C in 1/2/3/4) as a filter-0 PNG."""
+    h, w, c = pixels.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample (index arithmetic, no interpolation libs)."""
+    h, w, _ = pixels.shape
+    ys = (np.arange(height) * h // height).clip(0, h - 1)
+    xs = (np.arange(width) * w // width).clip(0, w - 1)
+    return pixels[ys][:, xs]
+
+
+# --------------------------------------------------------------------------
+# WAV codec (stdlib wave module)
+# --------------------------------------------------------------------------
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a PCM WAV payload to (samples float64 in [-1, 1], rate)."""
+    import wave
+
+    with wave.open(io.BytesIO(payload)) as wf:
+        n, width, rate = wf.getnframes(), wf.getsampwidth(), wf.getframerate()
+        raw = wf.readframes(n)
+        nch = wf.getnchannels()
+    if width == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128) / 128.0
+    else:
+        raise NotImplementedError(f"{width * 8}-bit WAV not supported")
+    return samples.reshape(-1, nch).mean(axis=1), rate
+
+
+# --------------------------------------------------------------------------
+# feature extraction
+# --------------------------------------------------------------------------
+
 
 def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
-    """Deterministic stand-in for a real decoder+encoder: features derive
-    solely from the payload hash, so tests are stable across runs."""
+    """Deterministic stand-in for formats without a sandbox codec:
+    features derive solely from the payload hash (stable across runs)."""
     digest = hashlib.sha256(payload).digest()
     raw = np.frombuffer((digest * ((dim * 8) // len(digest) + 1))[: dim * 8], dtype=np.uint64)
     return (raw.astype(np.float64) / np.float64(2**64)).tolist()
 
 
-def _try_real_decode(payload: bytes, kind: str):
-    try:  # pragma: no cover - decode libs absent in this container
-        if kind == "image":
-            import PIL.Image  # noqa: F401
-        elif kind == "audio":
-            import soundfile  # noqa: F401
-    except ImportError:
-        raise NotImplementedError(
-            f"no {kind} codec available in this environment; "
-            "use deterministic_fake=True for pipeline testing"
-        )
-    raise NotImplementedError("real decode path not implemented in sandbox")
+def _image_features(pixels: np.ndarray, dim: int = FEATURE_DIM) -> list[float]:
+    """Real image features: dims + per-channel mean/std + a coarse
+    luminance histogram, padded/truncated to FEATURE_DIM."""
+    h, w, c = pixels.shape
+    lum = pixels.astype(np.float64).mean(axis=2)
+    hist, _ = np.histogram(lum, bins=8, range=(0, 255))
+    feats = [
+        float(h), float(w), float(c),
+        float(pixels.mean()), float(pixels.std()),
+    ] + (hist / max(1, lum.size)).tolist()
+    return (feats + [0.0] * dim)[:dim]
+
+
+def _audio_features(samples: np.ndarray, rate: int, dim: int = FEATURE_DIM) -> list[float]:
+    """Real audio features: duration, RMS, peak + a coarse amplitude
+    histogram."""
+    hist, _ = np.histogram(np.abs(samples), bins=8, range=(0.0, 1.0))
+    feats = [
+        float(len(samples)) / max(1, rate),
+        float(np.sqrt((samples**2).mean())) if len(samples) else 0.0,
+        float(np.abs(samples).max()) if len(samples) else 0.0,
+    ] + (hist / max(1, len(samples))).tolist()
+    return (feats + [0.0] * dim)[:dim]
+
+
+def decode_features(payload: bytes, kind: str) -> list[float]:
+    """Real decode for PNG/WAV; NotImplementedError otherwise."""
+    if kind == "image" and payload[:8] == _PNG_MAGIC:
+        return _image_features(decode_png(payload))
+    if kind == "audio" and payload[:4] == b"RIFF":
+        return _audio_features(*decode_wav(payload))
+    raise NotImplementedError(
+        f"no {kind} codec for this payload format in the sandbox; "
+        "use deterministic_fake=True for pipeline testing"
+    )
 
 
 def extract_features(
     media: DataFrame, deterministic_fake: bool = False
 ) -> DataFrame:
     """(media_id, kind, features array<double>) via Arrow-batched
-    mapInPandas; partitions stream batches, payloads never collect."""
+    mapInPandas; partitions stream batches, payloads never collect.
+
+    deterministic_fake=False uses the REAL codecs (PNG/WAV); fake mode
+    keeps unsupported-format pipelines testable end-to-end."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -76,7 +235,7 @@ def extract_features(
                 if deterministic_fake:
                     feats.append(_fake_features(bytes(payload)))
                 else:
-                    _try_real_decode(bytes(payload), kind)
+                    feats.append(decode_features(bytes(payload), kind))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -107,15 +266,52 @@ def frame_sample(media: DataFrame, n_frames: int = 3) -> DataFrame:
     )
 
 
-def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize plumbing: updates meta dims; payload transform stubbed to the
-    identity (real kernel needs a codec)."""
-    return media.withColumn(
-        "meta",
-        F.struct(
-            F.col("meta.mime").alias("mime"),
-            F.lit(width).alias("width"),
-            F.lit(height).alias("height"),
-            F.col("meta.duration_ms").alias("duration_ms"),
-        ),
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL resize for PNG payloads: decode -> nearest-neighbor resample
+    -> re-encode, Arrow-batched; meta dims updated. Non-PNG payloads pass
+    through unchanged (their meta is not rewritten either)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload, out_w, out_h = [], [], []
+            for payload, mw, mh in zip(pdf["payload"], pdf["width"], pdf["height"]):
+                b = bytes(payload)
+                if b[:8] == _PNG_MAGIC:
+                    px = resize_nearest(decode_png(b), width, height)
+                    out_payload.append(encode_png(px))
+                    out_w.append(width)
+                    out_h.append(height)
+                else:
+                    out_payload.append(b)
+                    out_w.append(mw)
+                    out_h.append(mh)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out_payload,
+                    "width": pd.array(out_w, dtype="Int32"),
+                    "height": pd.array(out_h, dtype="Int32"),
+                }
+            )
+
+    flat = media.select(
+        "media_id", "payload", F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+    resized = flat.mapInPandas(
+        run, "media_id string, payload binary, width int, height int"
+    )
+    return (
+        media.drop("payload")
+        .join(resized, "media_id")
+        .withColumn(
+            "meta",
+            F.struct(
+                F.col("meta.mime").alias("mime"),
+                F.col("width").alias("width"),
+                F.col("height").alias("height"),
+                F.col("meta.duration_ms").alias("duration_ms"),
+            ),
+        )
+        .drop("width", "height")
     )

@@ -10,7 +10,8 @@ from refine_spark.analysis import (
     bpe_ish_count, doc_fingerprint, lang_id, token_count, with_quality,
 )
 from refine_spark.multimodal import (
-    MEDIA_SCHEMA, extract_features, frame_sample, resize_stub,
+    MEDIA_SCHEMA, decode_png, decode_wav, encode_png, extract_features,
+    frame_sample, resize_images,
 )
 from refine_spark.simsearch import brute_force_topk, cosine_dup_pairs, lsh_topk
 
@@ -128,5 +129,116 @@ def test_multimodal_plumbing(spark):
     fs = frame_sample(df, n_frames=3).collect()
     assert all(len(r["frame_hashes"]) == 3 for r in fs)
 
-    rz = resize_stub(df, 32, 32).collect()
-    assert all(r["meta"]["width"] == 32 for r in rz)
+
+def _make_png(h, w, c, seed=3):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, c), dtype="uint8")
+
+
+def _make_wav(rate=8000, seconds=0.5, freq=440.0):
+    import io as _io
+    import wave
+
+    import numpy as np
+
+    t = np.arange(int(rate * seconds)) / rate
+    pcm = (np.sin(2 * np.pi * freq * t) * 20000).astype("<i2")
+    buf = _io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def test_png_codec_roundtrip():
+    import numpy as np
+
+    for c in (1, 3, 4):
+        px = _make_png(13, 7, c)
+        assert np.array_equal(decode_png(encode_png(px)), px)
+
+
+def test_real_codec_features_and_resize(spark):
+    import numpy as np
+
+    png = encode_png(_make_png(16, 12, 3))
+    wav = _make_wav()
+    rows = [
+        ("img", "image", png, ("image/png", 12, 16, None)),
+        ("aud", "audio", wav, ("audio/wav", None, None, 500)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    feats = {r["media_id"]: r["features"] for r in extract_features(df).collect()}
+    assert feats["img"][0] == 16.0 and feats["img"][1] == 12.0  # real dims
+    assert abs(feats["aud"][0] - 0.5) < 1e-6  # real duration (s)
+    assert 0.3 < feats["aud"][1] < 0.8  # sine RMS ~ 0.43
+
+    # real resize: re-decode the resized payload and check dimensions
+    rz = {r["media_id"]: r for r in resize_images(df, 6, 5).collect()}
+    out = decode_png(bytes(rz["img"]["payload"]))
+    assert out.shape == (5, 6, 3)
+    assert rz["img"]["meta"]["width"] == 6 and rz["img"]["meta"]["height"] == 5
+    # WAV passes through untouched
+    samples, rate = decode_wav(bytes(rz["aud"]["payload"]))
+    assert rate == 8000 and len(samples) == 4000
+
+
+def test_png_decoder_handles_all_filters():
+    """Round-trip through a REAL encoder that exercises filters: zlib's
+    output re-decoded must match; also verify via a sub/up/paeth-filtered
+    encode done by hand."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from refine_spark.multimodal import _PNG_MAGIC
+
+    px = _make_png(6, 5, 3, seed=9)
+    h, w, c = px.shape
+    # hand-build rows with a rotating filter type per row (0..4)
+    out_rows = []
+    prev = np.zeros(w * c, dtype=np.int16)
+    for y in range(h):
+        cur = px[y].reshape(-1).astype(np.int16)
+        filt = y % 5
+        if filt == 0:
+            enc = cur.copy()
+        elif filt == 1:  # sub
+            left = np.concatenate([np.zeros(c, np.int16), cur[:-c]])
+            enc = (cur - left) & 0xFF
+        elif filt == 2:  # up
+            enc = (cur - prev) & 0xFF
+        elif filt == 3:  # average
+            left = np.concatenate([np.zeros(c, np.int16), cur[:-c]])
+            enc = (cur - ((left + prev) >> 1)) & 0xFF
+        else:  # paeth
+            left = np.concatenate([np.zeros(c, np.int16), cur[:-c]])
+            ul = np.concatenate([np.zeros(c, np.int16), prev[:-c]])
+            p = left + prev - ul
+            pa, pb, pc_ = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc_), left, np.where(pb <= pc_, prev, ul)
+            )
+            enc = (cur - pred) & 0xFF
+        out_rows.append(bytes([filt]) + enc.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        _PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(out_rows)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(payload), px)
