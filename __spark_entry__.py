@@ -362,6 +362,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sample_hashes"] = sample_hashes
 
+    def rebuild_plan_full(spark, sf):
+        # A6+W1+W2+W3 composed: collection grammar -> group -> ordered
+        # renumber -> representative election -> `{base}~{seq}{comment}.{ext}`
+        # (rebuild.rs:113-172), over synthetic collection stems
+        from refine_spark.rebuild import rebuild_plan
+
+        part = _read(spark, sf, "part")
+        g = (F.col("p_partkey") % 15).cast("string")
+        comment = F.when(F.col("p_partkey") % 5 == 0, F.lit(" rem")).otherwise(
+            F.lit("")
+        )
+        stem = F.concat(
+            F.lit("coll"), g, F.lit("~"), F.col("p_partkey").cast("string"), comment
+        )
+        df = part.select(
+            F.concat(F.lit("doc://x/"), stem, F.lit(".mp4")).alias("url"),
+            F.concat(stem, F.lit(".mp4")).alias("name"),
+            stem.alias("stem"),
+            F.lit("mp4").alias("ext"),
+            F.timestamp_seconds(F.col("p_partkey") * 100).alias("warc_ts"),
+        )
+        return rebuild_plan(df).select(
+            "url", "new_name", "new_seq",
+            F.col("changed").cast("long").alias("changed"),
+        )
+
+    q["rebuild_plan_full"] = rebuild_plan_full
+
+    def rename_plan_clashes(spark, sf):
+        # A8+W4 composed: strip-digits rule -> per-(parent, new_name)
+        # clash groups -> sequence resolution on changed rows
+        # (rename.rs:62-96), over synthetic clashing stems
+        from refine_spark.naming import compile_rules
+        from refine_spark.rename_join import rename_plan
+
+        part = _read(spark, sf, "part")
+        parent_leaf = F.concat(F.lit("d"), (F.col("p_partkey") % 4).cast("string"))
+        stem = F.when(F.col("p_partkey") % 8 == 0, F.lit("file")).otherwise(
+            F.concat(F.lit("file"), (F.col("p_partkey") % 8).cast("string"))
+        )
+        df = part.select(
+            F.concat(
+                F.lit("doc://h/"), parent_leaf, F.lit("/"), stem, F.lit(".mp4")
+            ).alias("url"),
+            F.concat(stem, F.lit(".mp4")).alias("name"),
+            stem.alias("stem"),
+            F.lit("mp4").alias("ext"),
+        )
+        rules = compile_rules(replace=[("[0-9]+$", "")])
+        plan = rename_plan(df, rules=rules, clashes="sequence")
+        return plan.select(
+            "url", "new_name",
+            F.col("changed").cast("long").alias("changed"),
+            F.col("clash").cast("long").alias("clash"),
+        )
+
+    q["rename_plan_clashes"] = rename_plan_clashes
+
     def sequential_groups(spark, sf):
         # A7 sequential-group detector (dupes.rs:332-405) over synthetic
         # name groups with three planted behaviors: no-numbers groups
@@ -936,6 +994,71 @@ def oracle_sql() -> dict[str, str]:
                             || substring(text, length(text) - 32 + 1, 32))
                    END AS sample_hash
             FROM documents
+        """,
+        "rebuild_plan_full": """
+            WITH base AS (
+                SELECT p_partkey,
+                       'coll' || CAST(p_partkey % 15 AS VARCHAR) AS canon,
+                       CASE WHEN p_partkey % 5 = 0 THEN ' rem' ELSE '' END
+                           AS comment
+                FROM part
+            ),
+            ranked AS (
+                SELECT p_partkey, canon, comment,
+                       CAST(row_number() OVER (
+                           PARTITION BY canon ORDER BY p_partkey) AS BIGINT)
+                           AS rn
+                FROM base
+            )
+            SELECT 'doc://x/' || canon || '~' || CAST(p_partkey AS VARCHAR)
+                       || comment || '.mp4' AS url,
+                   canon || '~' || CAST(rn AS VARCHAR) || comment || '.mp4'
+                       AS new_name,
+                   rn AS new_seq,
+                   CAST(CASE WHEN canon || '~' || CAST(rn AS VARCHAR) || comment
+                                  || '.mp4'
+                             <> canon || '~' || CAST(p_partkey AS VARCHAR)
+                                  || comment || '.mp4'
+                        THEN 1 ELSE 0 END AS BIGINT) AS changed
+            FROM ranked
+        """,
+        "rename_plan_clashes": """
+            WITH base AS (
+                SELECT 'd' || CAST(p_partkey % 4 AS VARCHAR) AS parent,
+                       CASE WHEN p_partkey % 8 = 0 THEN 'file'
+                            ELSE 'file' || CAST(p_partkey % 8 AS VARCHAR) END
+                           AS stem
+                FROM part
+            ),
+            b2 AS (
+                SELECT 'doc://h/' || parent || '/' || stem || '.mp4' AS url,
+                       parent, stem || '.mp4' AS name,
+                       regexp_replace(stem, '(?i)[0-9]+$', '', 'g') || '.mp4'
+                           AS new0
+                FROM base
+            ),
+            flagged AS (
+                SELECT url, parent, name, new0,
+                       new0 <> name AS changed0,
+                       count(*) OVER (PARTITION BY parent, new0) > 1 AS clash,
+                       row_number() OVER (
+                           PARTITION BY parent, new0, new0 <> name
+                           ORDER BY url) AS rn
+                FROM b2
+            ),
+            resolved AS (
+                SELECT url, name, clash,
+                       CASE WHEN clash AND changed0
+                            THEN regexp_replace(new0, '\\.[^.]*$', '')
+                                 || '-' || CAST(rn AS VARCHAR) || '.mp4'
+                            ELSE new0 END AS new_name
+                FROM flagged
+            )
+            SELECT url, new_name,
+                   CAST(CASE WHEN new_name <> name AND new_name <> ''
+                             THEN 1 ELSE 0 END AS BIGINT) AS changed,
+                   CAST(clash AS BIGINT) AS clash
+            FROM resolved
         """,
         "sequential_groups": """
             -- dupes.rs:332-405 replayed: digit-run vectors per name,

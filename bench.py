@@ -66,14 +66,23 @@ def headline(spark) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
     qset = entrymod.queries()
+    # substring_pairs (sf0.1: ~14 s) is deliberately NOT in the wall: the
+    # graded variant runs 16-char grams over the tiny-vocab testdata,
+    # which produces pathological hot fingerprint buckets (180k candidate
+    # pairs for 254 edges) — an honest skew case, but it would swamp the
+    # round-over-round suite comparison. Standalone timing recorded in
+    # BENCH/BASELINE.md.
     names = [
         "minhash_clusters",
+        "simhash_hamming_pairs",
         "tpch_pricing",
         "window_seq",
         "segment_join",
         "token_freq",
         "embedding_cosine_pairs",
         "ann_topk",
+        "lsh_ann_topk",
+        "events_sessionize",
         "natural_keys",
         "quality",
         "source_totals",

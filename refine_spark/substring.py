@@ -92,10 +92,14 @@ def substring_edges(docs: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
     n = cfg.winnow_ngram
     exact_verify = cfg.exact_lcs_verify
 
-    def _hashes_cached(cache: dict, text: str) -> np.ndarray:
+    def _hashes_cached(cache: dict, text: str) -> tuple[np.ndarray, np.ndarray]:
+        """(hashes, sorted_hashes) per text, computed once per batch —
+        np.isin would re-sort the needle side on EVERY pair; caching the
+        sorted array lets each pair pay only a searchsorted."""
         h = cache.get(text)
         if h is None:
-            h = _rolling_hashes(text, n)
+            raw = _rolling_hashes(text, n)
+            h = (raw, np.sort(raw))
             cache[text] = h
         return h
 
@@ -120,12 +124,14 @@ def substring_edges(docs: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
             # of length >= min_len forces a run of >= min_len - n + 1
             # consecutive positions in x whose n-gram hash also occurs in
             # y. O(len log len) with numpy; filters the vast majority.
-            ha = _hashes_cached(cache, x)
-            hb = _hashes_cached(cache, y)
-            if len(ha) == 0 or len(hb) == 0:
+            ha, _ = _hashes_cached(cache, x)
+            _, hb_sorted = _hashes_cached(cache, y)
+            if len(ha) == 0 or len(hb_sorted) == 0:
                 out.append(0.0)
                 continue
-            common = np.isin(ha, hb)
+            idx = np.searchsorted(hb_sorted, ha)
+            idx[idx == len(hb_sorted)] = 0
+            common = hb_sorted[idx] == ha
             # longest run of True
             padded = np.concatenate(([0], common.view(np.int8), [0]))
             diff = np.diff(padded)
