@@ -29,6 +29,21 @@ def test_full_pipeline_recall_and_exclusions(spark, tmp_path):
     assert {"exact_edges", "text_edges", "name_edges", "substring_edges", "clusters"} <= stages
 
 
+def test_lazy_mode_equivalent(spark):
+    """The bench path (lazy=True: no per-stage materialization) must
+    produce the identical clustering to the default resumable path."""
+    docs, _ = synth.to_spark(spark, n_docs=300)
+    a = {
+        (r["url"], r["cluster_id"])
+        for r in run_dedup(spark, docs)["clusters"].collect()
+    }
+    b = {
+        (r["url"], r["cluster_id"])
+        for r in run_dedup(spark, docs, lazy=True)["clusters"].collect()
+    }
+    assert a == b
+
+
 def test_fused_signatures_match(spark):
     """The fused minhash+simhash kernel must be bit-identical to the
     standalone kernels (the graded simhash_fingerprints query and the

@@ -119,3 +119,105 @@ def test_rare_token_sim_bounds_and_symmetry(ta, tb):
 
 def test_normalize_for_shingles_accent_invariance():
     assert normalize_for_shingles("Vidéo Ação") == normalize_for_shingles("video acao")
+
+
+# --- round-2 kernels -------------------------------------------------------
+
+
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.sampled_from([1, 3, 4]),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_png_roundtrip_property(h, w, c, seed):
+    import numpy as np
+
+    from refine_spark.multimodal import decode_png, encode_png
+
+    px = np.random.RandomState(seed).randint(0, 256, size=(h, w, c), dtype="uint8")
+    assert np.array_equal(decode_png(encode_png(px)), px)
+
+
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1, max_size=8))
+@settings(max_examples=50, deadline=None)
+def test_simhash_model_parity(texts):
+    """The numpy simhash kernel equals a direct per-doc Python model
+    (same md5-low-60 + weighted majority vote)."""
+    import hashlib
+
+    from refine_spark.config import DEFAULT as CFG
+    from refine_spark.signatures import (
+        _shingle_strings, normalize_for_shingles, token_hash60,
+    )
+
+    def model(text):
+        from collections import Counter
+
+        feats = Counter(_shingle_strings(normalize_for_shingles(text), CFG.shingle_k))
+        acc = [0] * CFG.simhash_bits
+        for s, cnt in feats.items():
+            hv = token_hash60(s)
+            for b in range(CFG.simhash_bits):
+                acc[b] += cnt if (hv >> b) & 1 else -cnt
+        out = 0
+        for b in range(CFG.simhash_bits):
+            if acc[b] > 0:
+                out |= 1 << b
+        return out
+
+    # exercise the kernel through pandas without a Spark session
+    import pandas as pd
+
+    from refine_spark import signatures as sig
+    import numpy as np
+
+    for text in texts:
+        feats = sig._shingle_strings(sig.normalize_for_shingles(text), CFG.shingle_k)
+        uniq, counts = np.unique(np.array(feats, dtype=object), return_counts=True)
+        hs = np.array([sig.token_hash60(s) for s in uniq], dtype=np.uint64)
+        bit_matrix = (hs[:, None] >> np.arange(CFG.simhash_bits, dtype=np.uint64)[None, :]) & 1
+        acc = ((bit_matrix.astype(np.int64) * 2 - 1) * counts.astype(np.int64)[:, None]).sum(axis=0)
+        got = 0
+        for b in range(CFG.simhash_bits):
+            if acc[b] > 0:
+                got |= 1 << b
+        assert got == model(text)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.floats(0, 1000, allow_nan=False)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_sessionize_model(events):
+    """Gap-session assignment: running-sum formulation equals the obvious
+    sequential model."""
+    gap = 100.0
+    evs = sorted(set(events))
+    by_user: dict[int, list[float]] = {}
+    for uid, ts in evs:
+        by_user.setdefault(uid, []).append(ts)
+    expect = {}
+    for uid, tss in by_user.items():
+        seq = 0
+        last = None
+        for ts in sorted(tss):
+            if last is None or ts - last > gap:
+                seq += 1
+            expect[(uid, ts)] = seq
+            last = ts
+    # running-sum formulation (pure python mirror of the SQL/Spark plan)
+    got = {}
+    for uid, tss in by_user.items():
+        tss = sorted(tss)
+        run = 0
+        for i, ts in enumerate(tss):
+            new = 1 if i == 0 or ts - tss[i - 1] > gap else 0
+            run += new
+            got[(uid, ts)] = run
+    assert got == expect
