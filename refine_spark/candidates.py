@@ -83,6 +83,63 @@ def lsh_candidates(
     return pairs.select("src", "dst").dropDuplicates(["src", "dst"])
 
 
+def prefix_block_candidates(
+    named: DataFrame, cfg: DedupConfig = DEFAULT
+) -> DataFrame:
+    """Weighted prefix-filtered candidate generation for the name pass —
+    EXACT w.r.t. the final edge set, unlike a df-cap.
+
+    Any pair the scorer can accept satisfies
+        rare >= bound = (threshold - string_weight) / rare_token_weight
+    (sim = max(lev, dice)*sw + rare*rw with max(...) <= 1), and
+    rare <= inter_score / min(wsum), so the shared-token weight must be
+    >= bound * min(wsum_a, wsum_b). Hence the smaller side must share a
+    token inside its weighted PREFIX — its heaviest (rarest) tokens up
+    to the point where the remaining tail weighs < bound * wsum. The
+    join probes each doc's prefix tokens against the FULL inverted
+    index: a hot (stopword-like) token has near-zero weight, so it
+    almost never sits in any prefix and its posting list is never
+    self-joined — the O(df^2) hot-token blow-up disappears without
+    dropping a single qualifying pair.
+
+    Plan: explode distinct tokens -> freq join -> per-url running-sum
+    window (weight desc) marks the prefix -> prefix rows join the full
+    index on token -> (least, greatest) dedup. Two narrow shuffles.
+    """
+    from pyspark.sql import Window as W
+
+    bound = (cfg.threshold - cfg.string_weight) / cfg.rare_token_weight
+    tok = named.select("url", F.explode(F.array_distinct("tokens")).alias("token"))
+    freq = (
+        named.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = tok.join(freq, "token").select(
+        "url", "token", (F.lit(1.0) / F.log1p("freq")).alias("w")
+    )
+    wu = W.partitionBy("url")
+    wcum = wu.orderBy(F.desc("w"), "token").rowsBetween(W.unboundedPreceding, 0)
+    flagged = (
+        w.withColumn("wsum", F.sum("w").over(wu))
+        .withColumn("cum", F.sum("w").over(wcum))
+        .withColumn(
+            "in_prefix",
+            (F.col("cum") - F.col("w")) <= (1.0 - bound) * F.col("wsum"),
+        )
+    )
+    probe = flagged.filter("in_prefix").select(F.col("url").alias("pu"), "token")
+    index = flagged.select(F.col("url").alias("iu"), "token")
+    return (
+        probe.join(index, "token")
+        .filter(F.col("pu") != F.col("iu"))
+        .select(
+            F.least("pu", "iu").alias("src"), F.greatest("pu", "iu").alias("dst")
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+
+
 def token_block_candidates(
     named: DataFrame, cfg: DedupConfig = DEFAULT
 ) -> DataFrame:

@@ -19,14 +19,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .candidates import lsh_candidates, token_block_candidates
+from .candidates import lsh_candidates
 from .clean import with_cleaned_name
 from .cluster import cluster_stats, connected_components, name_pass_clusters
 from .config import DedupConfig, DEFAULT
 from .checkpoint import StageRunner
 from .exact import exact_edges, with_size_kind
 from .scan import with_identity_columns
-from .scoring import score_name_pairs
+from .scoring import name_pass_edges
 from .signatures import simhash_edges, with_signatures
 from .substring import substring_edges
 
@@ -105,7 +105,8 @@ def run_dedup(
         named = base.select("url", "cleaned_name", "tokens", "kind")
         raw_name_edges = runner.run(
             "name_edges_raw",
-            lambda: score_name_pairs(token_block_candidates(named, cfg), named, cfg),
+            # weighted prefix filtering (exact) + shared weight frame
+            lambda: name_pass_edges(named, cfg),
             reused=True,  # feeds name CC and the surviving-edge semi-join
         )
         name_clusters, surviving = name_pass_clusters(raw_name_edges, named, cfg)

@@ -174,6 +174,72 @@ def _rare_jvm(cfg: DedupConfig):
     return F.when((a_score == 0.0) | (b_score == 0.0), F.lit(0.0)).otherwise(rare)
 
 
+def name_pass_edges(named: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
+    """The full name pass with ONE token-weight computation shared
+    between candidate generation and scoring.
+
+    Candidate generation is the weighted prefix filter
+    (candidates.prefix_block_candidates semantics — exact, no df-cap
+    needed); the per-(url, token, w) frame it builds is immediately
+    re-aggregated into the scoring arrays instead of re-exploding and
+    re-joining frequencies a second time. Edge set is identical to
+    score_name_pairs(prefix_block_candidates(named), named) — pinned by
+    tests/test_pipeline.py."""
+    from pyspark.sql import Window as W
+
+    bound = (cfg.threshold - cfg.string_weight) / cfg.rare_token_weight
+    tok = named.select("url", F.explode(F.array_distinct("tokens")).alias("token"))
+    freq = (
+        named.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = tok.join(freq, "token").select(
+        "url", "token", (F.lit(1.0) / F.log1p("freq")).alias("w")
+    )
+    wu = W.partitionBy("url")
+    wcum = wu.orderBy(F.desc("w"), "token").rowsBetween(W.unboundedPreceding, 0)
+    flagged = (
+        w.withColumn("wsum", F.sum("w").over(wu))
+        .withColumn("cum", F.sum("w").over(wcum))
+        .withColumn(
+            "in_prefix",
+            (F.col("cum") - F.col("w")) <= (1.0 - bound) * F.col("wsum"),
+        )
+        .localCheckpoint(eager=True)  # feeds candidates AND the arrays
+    )
+    probe = flagged.filter("in_prefix").select(F.col("url").alias("pu"), "token")
+    index = flagged.select(F.col("url").alias("iu"), "token")
+    pairs = (
+        probe.join(index, "token")
+        .filter(F.col("pu") != F.col("iu"))
+        .select(
+            F.least("pu", "iu").alias("src"), F.greatest("pu", "iu").alias("dst")
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    tokw = (
+        flagged.withColumn("tid", F.xxhash64("token"))
+        .withColumn("numeric", ~F.col("token").rlike("[^0-9]"))
+        .groupBy("url")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("tid", "w", "numeric"))).alias("tw"),
+            F.first("wsum").alias("wsum"),
+        )
+        .select(
+            "url",
+            F.transform("tw", lambda x: x["tid"]).alias("tids"),
+            F.transform("tw", lambda x: x["w"]).alias("ws"),
+            "wsum",
+            F.size("tw").alias("ntok"),
+            F.transform(
+                F.filter("tw", lambda x: ~x["numeric"]), lambda x: x["tid"]
+            ).alias("nonnum"),
+        )
+    )
+    return _score_pairs_with_weights(pairs, named, tokw, cfg)
+
+
 def score_name_pairs(
     pairs: DataFrame, named: DataFrame, cfg: DedupConfig = DEFAULT
 ) -> DataFrame:
@@ -191,15 +257,22 @@ def score_name_pairs(
          0.4 + rare*0.6 < t (dice <= 1) — only the narrow middle band
          pays the bigram-multiset dice pandas UDF.
     """
+    return _score_pairs_with_weights(pairs, named, token_weights(named), cfg)
+
+
+def _score_pairs_with_weights(
+    pairs: DataFrame,
+    named: DataFrame,
+    tokw: DataFrame,
+    cfg: DedupConfig = DEFAULT,
+) -> DataFrame:
     dice_udf, _ = make_pair_score_udf(cfg)
     sw, rw, t = cfg.string_weight, cfg.rare_token_weight, cfg.threshold
     # The candidate-pair table is huge (every token-block pair), so the
     # big join carries only the MINIMAL payload per side: kind + distinct
     # tokens + weights. Names attach after the prune (the pruned band is
     # tiny), halving the dominant shuffle's bytes.
-    side = named.select("url", "kind").join(
-        token_weights(named), "url"
-    ).localCheckpoint(eager=True)
+    side = named.select("url", "kind").join(tokw, "url").localCheckpoint(eager=True)
     a = side.select(*[F.col(c).alias(f"{c}_a") for c in side.columns])
     b = side.select(*[F.col(c).alias(f"{c}_b") for c in side.columns])
     joined = (

@@ -29,6 +29,42 @@ def test_full_pipeline_recall_and_exclusions(spark, tmp_path):
     assert {"exact_edges", "text_edges", "name_edges", "substring_edges", "clusters"} <= stages
 
 
+def test_name_pass_prefix_blocking_exact(spark):
+    """Weighted prefix filtering must not change the name-pass edge set
+    vs scoring ALL shared-token pairs (the bound argument in
+    candidates.prefix_block_candidates), and the fused name_pass_edges
+    must equal the two-step composition."""
+    from refine_spark.candidates import prefix_block_candidates, token_block_candidates
+    from refine_spark.config import DedupConfig
+    from refine_spark.pipeline import prepare
+    from refine_spark.scoring import name_pass_edges, score_name_pairs
+
+    docs, _ = synth.to_spark(spark, n_docs=800)
+    named = prepare(docs).localCheckpoint().select(
+        "url", "cleaned_name", "tokens", "kind"
+    )
+    # uncapped full blocking = the reference's inverted-index semantics
+    cfg = DedupConfig(token_block_df_cap=10**9, band_cap=10**9)
+    full = {
+        (r[0], r[1], round(r[2], 9))
+        for r in score_name_pairs(
+            token_block_candidates(named, cfg), named
+        ).select("src", "dst", "sim").collect()
+    }
+    pref = {
+        (r[0], r[1], round(r[2], 9))
+        for r in score_name_pairs(
+            prefix_block_candidates(named), named
+        ).select("src", "dst", "sim").collect()
+    }
+    fused = {
+        (r[0], r[1], round(r[2], 9))
+        for r in name_pass_edges(named).select("src", "dst", "sim").collect()
+    }
+    assert pref == full
+    assert fused == full
+
+
 def test_lazy_mode_equivalent(spark):
     """The bench path (lazy=True: no per-stage materialization) must
     produce the identical clustering to the default resumable path."""
