@@ -2,9 +2,14 @@
 
 entry(spark)   -> flagship dedup pipeline over sf0.001 documents
 queries()      -> one entry per implemented operator (SURVEY.md §2)
-oracle_sql()   -> DuckDB-equivalent SQL per query (omitted for the
-                  genuinely non-SQL-expressible iterative/UDF operators;
-                  those get the driver's rows-only check)
+oracle_sql()   -> DuckDB-equivalent SQL per query — EVERY query has one
+                  (round 2): iterative/UDF operators are gated by
+                  planted-truth VALUES oracles (the seeded generator's
+                  expected partition), engine-reproducible hashing
+                  (md5-low-60 simhash, md5-Rademacher LSH planes), or
+                  first-principles SQL reconstructions (winnowing via
+                  q-gram prefilter + containment; the sequential
+                  detector's arithmetic; rebuild/rename window chains)
 
 Column-name parity rule: every computed column is aliased identically in
 the Spark query and the SQL (the driver sorts columns by name before
