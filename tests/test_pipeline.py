@@ -29,6 +29,45 @@ def test_full_pipeline_recall_and_exclusions(spark, tmp_path):
     assert {"exact_edges", "text_edges", "name_edges", "substring_edges", "clusters"} <= stages
 
 
+def test_exact_pass_shuffle_never_carries_payload(spark):
+    """Plan-regression guard (round-2 fix): every Exchange in the
+    exact-dup plan must carry only the narrow projection — the html
+    payload is hashed map-side and never crosses a shuffle."""
+    import contextlib
+    import io
+    import re
+
+    from refine_spark.exact import exact_dup_groups
+
+    docs, _ = synth.to_spark(spark, n_docs=50)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        exact_dup_groups(docs).explain("formatted")
+    plan = buf.getvalue()
+    # detail sections start "(N) NodeName"; Exchange inputs must not
+    # mention the html or text columns
+    for section in re.split(r"\n\n", plan):
+        if re.match(r"\s*\(\d+\) Exchange", section):
+            assert "html#" not in section and "text#" not in section, section
+
+
+def test_stage_runner_recomputes_partial_stage(spark, tmp_path):
+    """A stage directory without _SUCCESS (crashed mid-write) must be
+    recomputed on resume while complete stages still resume."""
+    import os
+
+    from refine_spark.pipeline import run_dedup
+
+    docs, _ = synth.to_spark(spark, n_docs=150)
+    ckpt = str(tmp_path / "ckpt")
+    run_dedup(spark, docs, checkpoint_dir=ckpt)
+    os.remove(os.path.join(ckpt, "signatures", "_SUCCESS"))
+    res = run_dedup(spark, docs, checkpoint_dir=ckpt)
+    by_stage = {m["stage"]: m.get("extra") for m in res["metrics"]}
+    assert by_stage["signatures"] is None  # recomputed
+    assert by_stage["exact_edges"] == "resumed"
+
+
 def test_name_pass_prefix_blocking_exact(spark):
     """Weighted prefix filtering must not change the name-pass edge set
     vs scoring ALL shared-token pairs (the bound argument in
