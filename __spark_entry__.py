@@ -425,6 +425,99 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rename_plan_clashes"] = rename_plan_clashes
 
+    def _join_plan_df(spark, sf):
+        from refine_spark.rename_join import join_plan
+
+        docs = _read(spark, sf, "documents")
+        k = (F.col("doc_id") % 6).cast("string")
+        src = docs.select(
+            F.concat(F.lit("doc://h/"), "source", F.lit("/f"), k, F.lit(".mp4")).alias("url"),
+            F.concat(F.lit("f"), k, F.lit(".mp4")).alias("name"),
+            F.concat(F.lit("f"), k).alias("stem"),
+            F.lit("mp4").alias("ext"),
+        ).dropDuplicates(["url"])
+        kt = (F.col("doc_id") % 4).cast("string")
+        target = (
+            docs.filter(F.col("doc_id") < 40)
+            .select(
+                F.concat(F.lit("doc://h/t/f"), kt, F.lit(".mp4")).alias("url"),
+                F.concat(F.lit("f"), kt, F.lit(".mp4")).alias("name"),
+                F.concat(F.lit("f"), kt).alias("stem"),
+                F.lit("mp4").alias("ext"),
+            )
+            .dropDuplicates(["url"])
+        )
+        return join_plan(src, target, "doc://h/t", clashes="parent_name")
+
+    def join_plan_parent_name(spark, sf):
+        # J4 outer-clash union + O7 provenance + parent-name resolution
+        # (join.rs:97-135), fully window/concat — SQL-replayable
+        plan = _join_plan_df(spark, sf)
+        return plan.select(
+            "url", "name", "new_name", "origin",
+            F.col("in_place").cast("long").alias("in_place"),
+            F.col("clash").cast("long").alias("clash"),
+        )
+
+    q["join_plan_parent_name"] = join_plan_parent_name
+
+    def join_receipts(spark, sf):
+        # A12 receipt over the same plan (join.rs:172-180 accounting)
+        from refine_spark.rename_join import join_receipt
+
+        return join_receipt(_join_plan_df(spark, sf)).select(
+            "total", "clashes", F.col("in_place").cast("long").alias("in_place")
+        )
+
+    q["join_receipts"] = join_receipts
+
+    def traversal_universe(spark, sf):
+        # S3 dir-row universe, DirsAndContent mode (rename.rs:48) over a
+        # constructed 2-level tree with hidden dirs and hidden leaves
+        from refine_spark.universe import entry_universe
+
+        docs = _read(spark, sf, "documents")
+        seg1 = F.when(
+            F.col("source") == "src1", F.concat(F.lit(".h-"), "source")
+        ).otherwise(F.col("source"))
+        seg2 = F.concat(F.lit("d"), (F.col("doc_id") % 7).cast("string"))
+        leaf = F.concat(
+            F.when(F.col("doc_id") % 11 == 0, F.lit(".p")).otherwise(F.lit("p")),
+            F.col("doc_id").cast("string"),
+            F.lit(".html"),
+        )
+        tree = docs.select(
+            F.concat(
+                F.lit("http://w/"), seg1, F.lit("/"), seg2, F.lit("/"), leaf
+            ).alias("url")
+        )
+        out = entry_universe(tree, "dirs_and_content")
+        return out.select(
+            "path", "name",
+            F.col("is_dir").cast("long").alias("is_dir"),
+            F.col("level").cast("long").alias("level"),
+        )
+
+    q["traversal_universe"] = traversal_universe
+
+    def empty_parents_q(spark, sf):
+        # S10: prefixes emptied by dropping one source subtree
+        from refine_spark.apply import empty_parents
+
+        docs = _read(spark, sf, "documents")
+        url = F.concat(
+            F.lit("http://w/"), "source", F.lit("/d"),
+            (F.col("doc_id") % 7).cast("string"), F.lit("/p"),
+            F.col("doc_id").cast("string"), F.lit(".html"),
+        )
+        before = docs.select(url.alias("url"))
+        after = docs.filter(F.col("source") != "src1").select(url.alias("url"))
+        return empty_parents(before, after).select(
+            "path", F.col("level").cast("long").alias("level")
+        )
+
+    q["empty_parents_q"] = empty_parents_q
+
     def sequential_groups(spark, sf):
         # A7 sequential-group detector (dupes.rs:332-405) over synthetic
         # name groups with three planted behaviors: no-numbers groups
@@ -1064,6 +1157,117 @@ def oracle_sql() -> dict[str, str]:
                              THEN 1 ELSE 0 END AS BIGINT) AS changed,
                    CAST(clash AS BIGINT) AS clash
             FROM resolved
+        """,
+        "join_plan_parent_name": """
+            WITH src AS (
+                SELECT DISTINCT
+                    'doc://h/' || source || '/f' || CAST(doc_id % 6 AS VARCHAR)
+                        || '.mp4' AS url,
+                    'f' || CAST(doc_id % 6 AS VARCHAR) || '.mp4' AS name,
+                    'f' || CAST(doc_id % 6 AS VARCHAR) AS stem,
+                    'src' AS origin
+                FROM documents
+            ),
+            tgt AS (
+                SELECT DISTINCT
+                    'doc://h/t/f' || CAST(doc_id % 4 AS VARCHAR) || '.mp4' AS url,
+                    'f' || CAST(doc_id % 4 AS VARCHAR) || '.mp4' AS name,
+                    'f' || CAST(doc_id % 4 AS VARCHAR) AS stem,
+                    'target' AS origin
+                FROM documents WHERE doc_id < 40
+            ),
+            u AS (SELECT * FROM src UNION ALL SELECT * FROM tgt),
+            flagged AS (
+                SELECT url, name, stem, origin,
+                       regexp_replace(url, '/[^/]*$', '') = 'doc://h/t'
+                           AS in_place,
+                       count(*) OVER (PARTITION BY name) > 1 AS clash,
+                       regexp_extract(regexp_replace(url, '/[^/]*$', ''),
+                                      '([^/]*)$', 1) AS par_leaf
+                FROM u
+            )
+            SELECT url, name,
+                   CASE WHEN clash
+                        THEN par_leaf || '-' || stem || '.mp4' END AS new_name,
+                   origin,
+                   CAST(in_place AS BIGINT) AS in_place,
+                   CAST(clash AS BIGINT) AS clash
+            FROM flagged
+        """,
+        "join_receipts": """
+            WITH src AS (
+                SELECT DISTINCT
+                    'doc://h/' || source || '/f' || CAST(doc_id % 6 AS VARCHAR)
+                        || '.mp4' AS url,
+                    'f' || CAST(doc_id % 6 AS VARCHAR) || '.mp4' AS name,
+                    'src' AS origin
+                FROM documents
+            ),
+            tgt AS (
+                SELECT DISTINCT
+                    'doc://h/t/f' || CAST(doc_id % 4 AS VARCHAR) || '.mp4' AS url,
+                    'f' || CAST(doc_id % 4 AS VARCHAR) || '.mp4' AS name,
+                    'target' AS origin
+                FROM documents WHERE doc_id < 40
+            ),
+            u AS (SELECT * FROM src UNION ALL SELECT * FROM tgt),
+            flagged AS (
+                SELECT url, name, origin,
+                       regexp_replace(url, '/[^/]*$', '') = 'doc://h/t'
+                           AS in_place,
+                       count(*) OVER (PARTITION BY name) > 1 AS clash
+                FROM u
+            )
+            SELECT count(*) AS total,
+                   CAST(sum(CASE WHEN clash THEN 1 ELSE 0 END)
+                        - count(DISTINCT CASE WHEN clash THEN name END)
+                        AS BIGINT) AS clashes,
+                   CAST(sum(CASE WHEN in_place AND origin = 'src'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS in_place
+            FROM flagged
+        """,
+        "traversal_universe": """
+            WITH t AS (
+                SELECT CASE WHEN source = 'src1' THEN '.h-' || source
+                            ELSE source END AS s1,
+                       'd' || CAST(doc_id % 7 AS VARCHAR) AS s2,
+                       CASE WHEN doc_id % 11 = 0 THEN '.p' ELSE 'p' END
+                           || CAST(doc_id AS VARCHAR) || '.html' AS leaf
+                FROM documents
+            )
+            SELECT 'http://w/' || s1 || '/' || s2 || '/' || leaf AS path,
+                   leaf AS name, CAST(0 AS BIGINT) AS is_dir,
+                   CAST(3 AS BIGINT) AS level
+            FROM t
+            WHERE leaf NOT LIKE '.%' AND s1 NOT LIKE '.%' AND s2 NOT LIKE '.%'
+            UNION ALL
+            SELECT DISTINCT 'w/' || s1, s1, CAST(1 AS BIGINT),
+                   CAST(1 AS BIGINT)
+            FROM t WHERE s1 NOT LIKE '.%'
+            UNION ALL
+            SELECT DISTINCT 'w/' || s1 || '/' || s2, s2, CAST(1 AS BIGINT),
+                   CAST(2 AS BIGINT)
+            FROM t WHERE s1 NOT LIKE '.%' AND s2 NOT LIKE '.%'
+        """,
+        "empty_parents_q": """
+            WITH bp AS (
+                SELECT DISTINCT 'w/' || source AS path, 1 AS level
+                FROM documents
+                UNION
+                SELECT DISTINCT 'w/' || source || '/d'
+                           || CAST(doc_id % 7 AS VARCHAR), 2
+                FROM documents
+            ),
+            ap AS (
+                SELECT DISTINCT 'w/' || source AS path FROM documents
+                WHERE source <> 'src1'
+                UNION
+                SELECT DISTINCT 'w/' || source || '/d'
+                           || CAST(doc_id % 7 AS VARCHAR)
+                FROM documents WHERE source <> 'src1'
+            )
+            SELECT path, CAST(level AS BIGINT) AS level FROM bp
+            WHERE path NOT IN (SELECT path FROM ap)
         """,
         "sequential_groups": """
             -- dupes.rs:332-405 replayed: digit-run vectors per name,
