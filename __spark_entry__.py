@@ -518,6 +518,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["empty_parents_q"] = empty_parents_q
 
+    def list_by_count(spark, sf):
+        # O2 By::Count (list.rs:45-50,78-83): per-dir size/count
+        # aggregates ordered count-desc with natural-path secondary;
+        # rank materialized so the oracle compares the ORDER, not just
+        # the rows
+        from refine_spark.listing import dir_totals, list_plan
+
+        docs = _read(spark, sf, "documents")
+        url = F.concat(
+            F.lit("http://w/"), "source", F.lit("/d"),
+            (F.col("doc_id") % 7).cast("string"), F.lit("/p"),
+            F.col("doc_id").cast("string"), F.lit(".html"),
+        )
+        files = docs.select(url.alias("url"), F.col("n_chars").alias("size"))
+        dirs = dir_totals(files).select(
+            F.col("dir").alias("url"),
+            F.element_at(F.split("dir", "/"), -1).alias("name"),
+            F.col("total_size").alias("size"),
+            F.col("n_files").alias("count"),
+        )
+        # materialize list_plan's OUTPUT ORDER as a rank column (the
+        # driver's value-hash is order-insensitive, so the rank is what
+        # makes the ordering comparable): monotonically_increasing_id is
+        # ascending across the range-partitioned sort output
+        ranked = list_plan(dirs, by="count").withColumn(
+            "_mid", F.monotonically_increasing_id()
+        )
+        return ranked.select(
+            "url",
+            F.col("count").cast("long").alias("count"),
+            F.col("size").cast("long").alias("size"),
+            F.row_number().over(W.orderBy("_mid")).cast("long").alias("rank"),
+        )
+
+    q["list_by_count"] = list_by_count
+
     def sequential_groups(spark, sf):
         # A7 sequential-group detector (dupes.rs:332-405) over synthetic
         # name groups with three planted behaviors: no-numbers groups
@@ -1268,6 +1304,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT path, CAST(level AS BIGINT) AS level FROM bp
             WHERE path NOT IN (SELECT path FROM ap)
+        """,
+        "list_by_count": f"""
+            WITH dirs AS (
+                SELECT 'http://w/' || source || '/d'
+                           || CAST(doc_id % 7 AS VARCHAR) AS url,
+                       CAST(sum(n_chars) AS BIGINT) AS size,
+                       count(*) AS count
+                FROM documents
+                GROUP BY 'http://w/' || source || '/d'
+                             || CAST(doc_id % 7 AS VARCHAR)
+            )
+            SELECT url, count, size,
+                   CAST(row_number() OVER (
+                       ORDER BY count DESC,
+                                {NATURAL_KEY_DUCKDB.format(col="url")},
+                                url) AS BIGINT) AS rank
+            FROM dirs
         """,
         "sequential_groups": """
             -- dupes.rs:332-405 replayed: digit-run vectors per name,
