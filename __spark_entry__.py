@@ -218,7 +218,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the hamming ball (banding guarantee: hamming<=3 always shares a
         # 15-bit band, so the outputs must be identical)
         docs = _docs_as_pipeline_input(_read(spark, sf, "documents"))
-        signed = with_signatures(docs.select("url", "text"))
+        sh = make_simhash_udf(DedupConfig())
+        signed = docs.select("url", sh(F.col("text")).alias("simhash"))
         return simhash_edges(signed).select("src", "dst")
 
     q["simhash_hamming_pairs"] = simhash_hamming_pairs
