@@ -43,7 +43,37 @@ from refine_spark.simsearch import brute_force_topk, cosine_dup_pairs, lsh_topk
 from refine_spark.substring import substring_edges
 
 
+def _ensure_workers_can_import(spark: SparkSession) -> None:
+    """Executor python workers must be able to import refine_spark to
+    unpickle the UDF closures. When the harness's session was created
+    outside this repo's cwd/PYTHONPATH, ship the package to workers via
+    addPyFile (the spark-submit --py-files contract, self-applied)."""
+    sc = spark.sparkContext
+    if getattr(sc, "_refine_spark_shipped", False):
+        return
+    import os
+    import tempfile
+    import zipfile
+
+    import refine_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(refine_spark.__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"refine_spark_pyfiles_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for fn in sorted(os.listdir(pkg_dir)):
+                if fn.endswith(".py"):
+                    zf.write(
+                        os.path.join(pkg_dir, fn), f"refine_spark/{fn}"
+                    )
+    sc.addPyFile(zpath)
+    sc._refine_spark_shipped = True
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_workers_can_import(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -62,6 +92,7 @@ def _docs_as_pipeline_input(docs: DataFrame) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full near-dup pipeline over the sf0.001 documents table."""
+    _ensure_workers_can_import(spark)
     docs = _docs_as_pipeline_input(_read(spark, "/root/testdata/sf0.001", "documents"))
     result = run_dedup(spark, docs, passes=("exact", "text"))
     return result["clusters"]
@@ -194,6 +225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # responsible for (exact + near_text) — cluster_id must equal the
         # min url of the planted cluster, i.e. the engine must reproduce
         # the planted partition exactly (no missed links, no false merges).
+        _ensure_workers_can_import(spark)
         docs, _ = synth.to_spark(spark, n_docs=500)
         signed = with_signatures(docs.select("url", "text"))
         from refine_spark.pipeline import minhash_edges
@@ -244,6 +276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # global CC) over the seeded synthetic corpus; oracle = the
         # generator's planted partition across ALL families (sequential
         # families excluded by the detector), cluster_id = min url
+        _ensure_workers_can_import(spark)
         docs, _ = synth.to_spark(spark, n_docs=200)
         return run_dedup(spark, docs)["clusters"].select("url", "cluster_id")
 

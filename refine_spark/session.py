@@ -35,9 +35,18 @@ def get_spark(
     if local_dir is None and os.path.isdir("/dev/shm"):
         local_dir = "/dev/shm/spark-local"
 
+    # executor python workers must import refine_spark regardless of the
+    # launch cwd (the spark-submit --py-files contract; local-mode workers
+    # read spark.executorEnv.PYTHONPATH)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker_pp = repo_root + (
+        ":" + os.environ["PYTHONPATH"] if os.environ.get("PYTHONPATH") else ""
+    )
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        .config("spark.executorEnv.PYTHONPATH", worker_pp)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
