@@ -588,6 +588,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["list_by_count"] = list_by_count
 
+    def quarantine_counts(spark, sf):
+        # S5 malformed-row side channel (commands.rs:102-115 analog):
+        # rows failing the validity predicate split to quarantine; the
+        # receipt is (n_ok, n_bad)
+        from refine_spark.apply import quarantine_split
+
+        docs = _read(spark, sf, "documents")
+        ok_pred = F.col("lang").isNotNull() & (F.col("n_chars") >= 60)
+        ok, bad = quarantine_split(docs, ok_pred)
+        return ok.agg(F.count(F.lit(1)).alias("n_ok")).crossJoin(
+            bad.agg(F.count(F.lit(1)).alias("n_bad"))
+        )
+
+    q["quarantine_counts"] = quarantine_counts
+
+    def old_style_migration(spark, sf):
+        # P7 old-style `name-9` migration predicate (rebuild.rs:77-100)
+        from refine_spark.scan import old_style_parts
+
+        part = _read(spark, sf, "part")
+        stem = F.when(
+            F.col("p_partkey") % 3 == 0,
+            F.concat(
+                F.regexp_replace("p_name", " ", "_"), F.lit("-"),
+                (F.col("p_partkey") % 12).cast("string"),
+            ),
+        ).otherwise(F.regexp_replace("p_name", " ", "_"))
+        parts = old_style_parts(stem)
+        return part.select(
+            "p_partkey",
+            parts["is_old_style"].cast("long").alias("is_old_style"),
+            parts["base"].alias("base"),
+            parts["seq"].alias("seq"),
+        )
+
+    q["old_style_migration"] = old_style_migration
+
     def sequential_groups(spark, sf):
         # A7 sequential-group detector (dupes.rs:332-405) over synthetic
         # name groups with three planted behaviors: no-numbers groups
@@ -1355,6 +1392,32 @@ def oracle_sql() -> dict[str, str]:
                                 {NATURAL_KEY_DUCKDB.format(col="url")},
                                 url) AS BIGINT) AS rank
             FROM dirs
+        """,
+        "quarantine_counts": """
+            SELECT
+                (SELECT count(*) FROM documents
+                 WHERE lang IS NOT NULL AND n_chars >= 60) AS n_ok,
+                (SELECT count(*) FROM documents
+                 WHERE NOT (lang IS NOT NULL AND n_chars >= 60)) AS n_bad
+        """,
+        "old_style_migration": r"""
+            SELECT p_partkey,
+                   CAST(CASE WHEN regexp_matches(stem, '^(\w+)-(\d+)$')
+                             THEN 1 ELSE 0 END AS BIGINT) AS is_old_style,
+                   CASE WHEN regexp_matches(stem, '^(\w+)-(\d+)$')
+                        THEN regexp_extract(stem, '^(\w+)-(\d+)$', 1) END
+                       AS base,
+                   CASE WHEN regexp_matches(stem, '^(\w+)-(\d+)$')
+                        THEN CAST(regexp_extract(stem, '^(\w+)-(\d+)$', 2)
+                                  AS BIGINT) END AS seq
+            FROM (
+                SELECT p_partkey,
+                       CASE WHEN p_partkey % 3 = 0
+                            THEN replace(p_name, ' ', '_') || '-'
+                                 || CAST(p_partkey % 12 AS VARCHAR)
+                            ELSE replace(p_name, ' ', '_') END AS stem
+                FROM part
+            )
         """,
         "sequential_groups": """
             -- dupes.rs:332-405 replayed: digit-run vectors per name,
