@@ -24,7 +24,8 @@ Package map (SURVEY.md §7.1):
     rebuild.py      grouping + representative-name election + seq regen
     rename_join.py  clash detection / resolution plans
     listing.py      natural sort key + directory aggregates
-    probe.py        name dedup + batched external probe plumbing
+    probe.py        name dedup + batched external probe (retry/backoff)
+    universe.py     dir-row universe: the four traversal modes (S3)
     checkpoint.py   per-stage checkpoint/resume + metrics tables
     analysis.py     text analysis: lang-id, quality, tokens, fingerprints
     simsearch.py    embedding similarity search (brute-force + LSH buckets)
