@@ -60,7 +60,7 @@ def test_incremental_dedup_two_batches(spark, tmp_path):
     first.write.mode("overwrite").parquet(os.path.join(in_dir, "batch1"))
 
     q = run_incremental_dedup(spark, in_dir + "/*", state)
-    q.awaitTermination(120)
+    q.awaitTermination(300)
 
     # second batch re-sends some earlier docs (same url space new urls? use
     # exact text copies) -> they must match existing reps, not create new
@@ -70,7 +70,7 @@ def test_incremental_dedup_two_batches(spark, tmp_path):
     second.write.mode("append").parquet(os.path.join(in_dir, "batch2"))
 
     q2 = run_incremental_dedup(spark, in_dir + "/*", state)
-    q2.awaitTermination(120)
+    q2.awaitTermination(300)
 
     assigns = spark.read.parquet(os.path.join(state, "assignments"))
     reposts = assigns.filter(F.col("url").contains("repost=1"))
@@ -92,7 +92,7 @@ def test_incremental_dedup_two_batches(spark, tmp_path):
     )
     batch3.write.mode("append").parquet(os.path.join(in_dir, "batch3"))
     q3 = run_incremental_dedup(spark, in_dir + "/*", state)
-    q3.awaitTermination(120)
+    q3.awaitTermination(300)
 
     exact_files_after = {
         f for f in os.listdir(os.path.join(state, "exact")) if f.endswith(".parquet")
