@@ -208,11 +208,29 @@ def _audio_features(samples: np.ndarray, rate: int, dim: int = FEATURE_DIM) -> l
 
 
 def decode_features(payload: bytes, kind: str) -> list[float]:
-    """Real decode for PNG/WAV; NotImplementedError otherwise."""
-    if kind == "image" and payload[:8] == _PNG_MAGIC:
-        return _image_features(decode_png(payload))
-    if kind == "audio" and payload[:4] == b"RIFF":
-        return _audio_features(*decode_wav(payload))
+    """Real decode for PNG/WAV; NotImplementedError otherwise.
+
+    Codec parse failures (truncated chunks, bad zlib streams, RIFF files
+    that aren't WAVE) are wrapped as NotImplementedError too: callers —
+    and the mapInPandas tasks above — see ONE documented exception type
+    for "can't decode this payload", never an engine-dependent leak like
+    wave.Error that depends on which row's task dies first."""
+    try:
+        if kind == "image" and payload[:8] == _PNG_MAGIC:
+            return _image_features(decode_png(payload))
+        if (
+            kind == "audio"
+            and payload[:4] == b"RIFF"
+            and payload[8:12] == b"WAVE"
+        ):
+            return _audio_features(*decode_wav(payload))
+    except NotImplementedError:
+        raise
+    except Exception as exc:  # wave.Error, zlib.error, struct.error, Index/ValueError
+        raise NotImplementedError(
+            f"malformed {kind} payload ({type(exc).__name__}: {exc}); "
+            "use deterministic_fake=True for pipeline testing"
+        ) from exc
     raise NotImplementedError(
         f"no {kind} codec for this payload format in the sandbox; "
         "use deterministic_fake=True for pipeline testing"

@@ -98,7 +98,12 @@ def run_dedup(
             )
         if "simhash" in passes:
             edge_frames.append(
-                runner.run("simhash_edges", lambda: simhash_edges(signed, cfg))
+                # star expansion: identical-fingerprint groups contribute
+                # O(members) edges, not O(members^2) — same connectivity
+                runner.run(
+                    "simhash_edges",
+                    lambda: simhash_edges(signed, cfg, expand="star"),
+                )
             )
 
     if "name" in passes:

@@ -172,36 +172,100 @@ def simhash_band_keys(df, cfg: DedupConfig = DEFAULT, sig_col: str = "simhash"):
     return banded.select("url", "band", "band_key")
 
 
-def simhash_edges(docs_with_sig, cfg: DedupConfig = DEFAULT):
+def simhash_edges(docs_with_sig, cfg: DedupConfig = DEFAULT, expand: str = "pairs"):
     """Edges (src, dst, sim, 'simhash') for pairs within the hamming ball.
 
-    Candidates from the band join (one narrow shuffle, capped hot buckets);
-    verify is a pure JVM bit_count(xor) <= simhash_max_hamming — no text,
-    no Python. sim = 1 - hamming/bits."""
+    Dedupe-before-banding: identical fingerprints collapse to ONE
+    representative row before the band explode, so the dup-heavy hot case
+    (thousands of identical fingerprints landing in one 15-bit band
+    bucket) can never hit `band_cap` — the cap only truncates when more
+    than band_cap DISTINCT fingerprints share a band slice, and that
+    truncation is surfaced via the `capped` flag, not silent. Verify is a
+    pure JVM bit_count(xor) <= simhash_max_hamming over representative
+    fingerprints — no text, no Python. sim = 1 - hamming/bits.
+
+    expand="pairs" (default): full (src < dst) pair semantics matching the
+      brute-force hamming-ball oracle — every intra-group pair (identical
+      fingerprints, ham=0, sim=1.0) plus every cross-group member pair.
+      Output is inherently quadratic in identical-fingerprint group size;
+      use for pair-listing queries, not planetary-scale edge feeds.
+    expand="star": scale mode for connectivity consumers (connected
+      components) — one rep->member edge per extra group member plus one
+      rep->rep edge per qualifying fingerprint pair. Linear in members,
+      identical connected components.
+    """
     from .candidates import _pairs_from_buckets
 
-    banded = simhash_band_keys(docs_with_sig.select("url", "simhash"), cfg)
-    pairs = (
+    sigs = docs_with_sig.select("url", "simhash")
+    groups = sigs.groupBy("simhash").agg(
+        F.min("url").alias("rep"), F.count(F.lit(1)).alias("n_members")
+    )
+    reps = groups.select(F.col("rep").alias("url"), "simhash")
+
+    banded = simhash_band_keys(reps, cfg)
+    rep_pairs = (
         _pairs_from_buckets(banded, "url", ["band", "band_key"], cfg.band_cap)
         .select("src", "dst")
         .dropDuplicates(["src", "dst"])
     )
-    sigs = docs_with_sig.select("url", "simhash")
-    a = sigs.select(F.col("url").alias("src"), F.col("simhash").alias("sh_a"))
-    b = sigs.select(F.col("url").alias("dst"), F.col("simhash").alias("sh_b"))
-    ham = hamming_distance(F.col("sh_a"), F.col("sh_b"))
-    return (
-        pairs.join(a, "src")
+    a = reps.select(F.col("url").alias("src"), F.col("simhash").alias("sh_a"))
+    b = reps.select(F.col("url").alias("dst"), F.col("simhash").alias("sh_b"))
+    rep_edges = (
+        rep_pairs.join(a, "src")
         .join(b, "dst")
-        .withColumn("ham", ham)
+        .withColumn("ham", hamming_distance(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("ham") <= cfg.simhash_max_hamming)
-        .select(
-            "src",
-            "dst",
-            (F.lit(1.0) - F.col("ham") / F.lit(float(cfg.simhash_bits))).alias("sim"),
-            F.lit("simhash").alias("pass_name"),
-        )
+        .select("sh_a", "sh_b", "ham")
     )
+
+    sim_expr = (
+        F.lit(1.0) - F.col("ham") / F.lit(float(cfg.simhash_bits))
+    ).alias("sim")
+    pass_col = F.lit("simhash").alias("pass_name")
+
+    if expand == "star":
+        intra = (
+            sigs.join(
+                groups.filter(F.col("n_members") > 1).select("simhash", "rep"),
+                "simhash",
+            )
+            .filter(F.col("url") != F.col("rep"))
+            .select(
+                F.col("rep").alias("src"),
+                F.col("url").alias("dst"),
+                F.lit(0).alias("ham"),
+            )
+        )
+        cross = rep_edges.join(
+            groups.select(F.col("simhash").alias("sh_a"), F.col("rep").alias("ra")),
+            "sh_a",
+        ).join(
+            groups.select(F.col("simhash").alias("sh_b"), F.col("rep").alias("rb")),
+            "sh_b",
+        ).select(
+            F.least("ra", "rb").alias("src"),
+            F.greatest("ra", "rb").alias("dst"),
+            "ham",
+        )
+        return intra.unionByName(cross).select("src", "dst", sim_expr, pass_col)
+
+    # expand == "pairs": exact hamming-ball pair semantics
+    # intra-group: all (i < j) member pairs per identical fingerprint
+    intra = (
+        _pairs_from_buckets(sigs, "url", ["simhash"], cap=1 << 30)
+        .select("src", "dst", F.lit(0).alias("ham"))
+    )
+    # cross-group: every member-of-A x member-of-B pair per rep edge
+    cross = rep_edges.join(
+        sigs.select(F.col("simhash").alias("sh_a"), F.col("url").alias("ua")), "sh_a"
+    ).join(
+        sigs.select(F.col("simhash").alias("sh_b"), F.col("url").alias("ub")), "sh_b"
+    ).select(
+        F.least("ua", "ub").alias("src"),
+        F.greatest("ua", "ub").alias("dst"),
+        "ham",
+    )
+    return intra.unionByName(cross).select("src", "dst", sim_expr, pass_col)
 
 
 def make_signatures_udf(cfg: DedupConfig = DEFAULT):
@@ -214,12 +278,15 @@ def make_signatures_udf(cfg: DedupConfig = DEFAULT):
     a, b = _perm_params(cfg)
     k = cfg.shingle_k
     bits = cfg.simhash_bits
+    # closure-level: unpickled once per Python worker process, so the
+    # memo spans every Arrow batch that worker executes (bounded by
+    # _MEMO_CAP); near-dup corpora repeat most shingles across documents
+    memo_b: dict[str, int] = {}
+    memo_m: dict[str, int] = {}
 
     @F.pandas_udf("minhash array<long>, simhash long")
     def signatures_udf(texts: pd.Series) -> pd.DataFrame:
         mins, sims = [], []
-        memo_b: dict[str, int] = {}  # executor-resident, bounded
-        memo_m: dict[str, int] = {}
         for text in texts:
             shingles = _shingle_strings(normalize_for_shingles(text), k)
             # --- minhash over blake2b shingle hashes ---

@@ -130,6 +130,27 @@ def test_multimodal_plumbing(spark):
     assert all(len(r["frame_hashes"]) == 3 for r in fs)
 
 
+def test_decode_features_exception_contract():
+    """Every undecodable payload — wrong magic, RIFF-but-not-WAVE, bad
+    header magic with garbage body, truncated real container — raises
+    NotImplementedError specifically, never a leaked codec exception
+    (wave.Error / zlib.error / struct.error)."""
+    from refine_spark.multimodal import _PNG_MAGIC, decode_features
+
+    bad_payloads = [
+        ("audio", b"RIFF fake wav" * 30),            # RIFF but not WAVE
+        ("audio", b"RIFF\x00\x00\x00\x00WAVEjunk"),  # RIFF/WAVE, bad body
+        ("image", _PNG_MAGIC + b"garbage-not-chunks"),
+        ("image", b"\xff\xd8\xff\xe0 jpeg-ish"),     # unsupported format
+        ("video", b"\x00\x00\x00\x18ftypmp42"),
+        ("audio", b""),
+        ("image", b""),
+    ]
+    for kind, payload in bad_payloads:
+        with pytest.raises(NotImplementedError):
+            decode_features(payload, kind)
+
+
 def _make_png(h, w, c, seed=3):
     import numpy as np
 

@@ -175,3 +175,50 @@ def test_checkpoint_resume(spark, tmp_path):
     n2 = r2["clusters"].count()
     assert n1 == n2
     assert any(m["extra"] == "resumed" for m in r2["metrics"])
+
+
+def test_simhash_edges_hot_bucket_exact(spark):
+    """Dedupe-before-banding correctness guard (round-3): a group of
+    identical fingerprints FAR larger than band_cap must still produce
+    every hamming-ball pair in expand='pairs' mode (the old behavior
+    truncated the hot band bucket and dropped true edges), and
+    expand='star' must yield the same connected components with only
+    O(members) edges."""
+    import dataclasses
+
+    from refine_spark.cluster import connected_components
+    from refine_spark.config import DEFAULT
+    from refine_spark.signatures import simhash_edges
+
+    cfg = dataclasses.replace(DEFAULT, band_cap=5)
+    fp_a = 0x0FF00FF00FF00FF
+    fp_b = fp_a ^ 0b11  # hamming 2 from fp_a (within ball of 3)
+    fp_far = fp_a ^ ((1 << 50) - 1)  # far outside every band
+    rows = (
+        [(f"a{i:03d}", fp_a) for i in range(40)]
+        + [(f"b{i:03d}", fp_b) for i in range(25)]
+        + [("z000", fp_far)]
+    )
+    docs = spark.createDataFrame(rows, "url string, simhash long")
+
+    pairs = simhash_edges(docs, cfg, expand="pairs").collect()
+    expected = 40 * 39 // 2 + 25 * 24 // 2 + 40 * 25
+    assert len(pairs) == expected, f"{len(pairs)} != {expected}"
+    assert all(r["src"] < r["dst"] for r in pairs)
+    sims = {round(r["sim"], 6) for r in pairs}
+    assert sims == {1.0, round(1 - 2 / 60, 6)}
+    assert not any(r["src"] == "z000" or r["dst"] == "z000" for r in pairs)
+
+    star = simhash_edges(docs, cfg, expand="star")
+    assert star.count() == 39 + 24 + 1  # two stars + one rep-rep edge
+    cc_star = {
+        r["url"]: r["cluster_id"] for r in connected_components(star).collect()
+    }
+    cc_pairs = {
+        r["url"]: r["cluster_id"]
+        for r in connected_components(
+            spark.createDataFrame(pairs)
+        ).collect()
+    }
+    assert cc_star == cc_pairs
+    assert len(set(cc_star.values())) == 1  # a+b merged, z absent
