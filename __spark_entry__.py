@@ -505,6 +505,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["join_receipts"] = join_receipts
 
+    def join_plan_name_sequence(spark, sf):
+        # J6/W5 name-sequence strategy (join.rs:126-135): the shared
+        # per-group counter skips names taken in the target — the k-th
+        # renamed member gets the k-th FREE integer >= 2 (order
+        # statistic, closed form, no retry bound). The planted target
+        # names f{k}-{2..8}.mp4 are a 7-long consecutive taken run, so
+        # renamed members of groups f0..f3 must start at 9.
+        from refine_spark.rename_join import join_plan
+
+        docs = _read(spark, sf, "documents")
+        k = (F.col("doc_id") % 6).cast("string")
+        src = docs.select(
+            F.concat(F.lit("doc://h/"), "source", F.lit("/f"), k, F.lit(".mp4")).alias("url"),
+            F.concat(F.lit("f"), k, F.lit(".mp4")).alias("name"),
+            F.concat(F.lit("f"), k).alias("stem"),
+            F.lit("mp4").alias("ext"),
+        ).dropDuplicates(["url"])
+        kt = (F.col("doc_id") % 4).cast("string")
+        plain = docs.filter(F.col("doc_id") < 40).select(
+            F.concat(F.lit("doc://h/t/f"), kt, F.lit(".mp4")).alias("url"),
+            F.concat(F.lit("f"), kt, F.lit(".mp4")).alias("name"),
+            F.concat(F.lit("f"), kt).alias("stem"),
+            F.lit("mp4").alias("ext"),
+        ).dropDuplicates(["url"])
+        seqi = (F.col("doc_id") % 7 + 2).cast("string")
+        planted = docs.filter(F.col("doc_id") < 80).select(
+            F.concat(F.lit("doc://h/t/f"), kt, F.lit("-"), seqi, F.lit(".mp4")).alias("url"),
+            F.concat(F.lit("f"), kt, F.lit("-"), seqi, F.lit(".mp4")).alias("name"),
+            F.concat(F.lit("f"), kt, F.lit("-"), seqi).alias("stem"),
+            F.lit("mp4").alias("ext"),
+        ).dropDuplicates(["url"])
+        plan = join_plan(
+            src, plain.unionByName(planted), "doc://h/t", clashes="name_sequence"
+        )
+        return plan.select(
+            "url", "name", "new_name", "origin",
+            F.col("in_place").cast("long").alias("in_place"),
+            F.col("clash").cast("long").alias("clash"),
+        )
+
+    q["join_plan_name_sequence"] = join_plan_name_sequence
+
     def traversal_universe(spark, sf):
         # S3 dir-row universe, DirsAndContent mode (rename.rs:48) over a
         # constructed 2-level tree with hidden dirs and hidden leaves
@@ -557,7 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # aggregates ordered count-desc with natural-path secondary;
         # rank materialized so the oracle compares the ORDER, not just
         # the rows
-        from refine_spark.listing import dir_totals, list_plan
+        from refine_spark.listing import dir_totals
 
         docs = _read(spark, sf, "documents")
         url = F.concat(
@@ -572,18 +614,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("total_size").alias("size"),
             F.col("n_files").alias("count"),
         )
-        # materialize list_plan's OUTPUT ORDER as a rank column (the
-        # driver's value-hash is order-insensitive, so the rank is what
-        # makes the ordering comparable): monotonically_increasing_id is
-        # ascending across the range-partitioned sort output
-        ranked = list_plan(dirs, by="count").withColumn(
-            "_mid", F.monotonically_increasing_id()
+        # materialize list_plan's OUTPUT ORDER (count desc, natural path,
+        # url) as a rank column — derived from the ordering KEYS directly
+        # (round-2 used monotonically_increasing_id over the sorted
+        # output, an undocumented planner property, plus a single-task
+        # global window). Bucket-stitch: row_number within each distinct
+        # count (parallel) + a cumulative offset over the tiny per-count
+        # aggregate; only the offset window is serial, over one row per
+        # distinct count.
+        from refine_spark.listing import natural_key
+
+        keyed = dirs.withColumn("_nk", natural_key(F.col("url")))
+        wb = W.partitionBy("count").orderBy("_nk", "url")
+        inner = keyed.withColumn("_rn", F.row_number().over(wb))
+        offsets = (
+            keyed.groupBy("count")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .withColumn(
+                "_off",
+                F.coalesce(
+                    F.sum("_n").over(
+                        W.orderBy(F.desc_nulls_last("count")).rowsBetween(
+                            W.unboundedPreceding, -1
+                        )
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .select("count", "_off")
         )
-        return ranked.select(
+        return inner.join(offsets, "count").select(
             "url",
             F.col("count").cast("long").alias("count"),
             F.col("size").cast("long").alias("size"),
-            F.row_number().over(W.orderBy("_mid")).cast("long").alias("rank"),
+            (F.col("_off") + F.col("_rn")).cast("long").alias("rank"),
         )
 
     q["list_by_count"] = list_by_count
@@ -1332,6 +1396,92 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN in_place AND origin = 'src'
                                  THEN 1 ELSE 0 END) AS BIGINT) AS in_place
             FROM flagged
+        """,
+        # name_sequence: the k-th renamed member of a clash group gets the
+        # k-th integer >= 2 not taken in the target (shared-counter
+        # semantics, join.rs:126-135), replayed relationally: candidate
+        # integers from generate_series, anti-joined against the parsed
+        # taken set, ranked per group. Every target name here carries the
+        # .mp4 extension, so only the with-extension decomposition of
+        # taken names can match (the engine also handles ext-less names).
+        "join_plan_name_sequence": """
+            WITH src AS (
+                SELECT DISTINCT
+                    'doc://h/' || source || '/f' || CAST(doc_id % 6 AS VARCHAR)
+                        || '.mp4' AS url,
+                    'f' || CAST(doc_id % 6 AS VARCHAR) || '.mp4' AS name,
+                    'f' || CAST(doc_id % 6 AS VARCHAR) AS stem,
+                    'src' AS origin
+                FROM documents
+            ),
+            plain AS (
+                SELECT DISTINCT
+                    'doc://h/t/f' || CAST(doc_id % 4 AS VARCHAR) || '.mp4' AS url,
+                    'f' || CAST(doc_id % 4 AS VARCHAR) || '.mp4' AS name,
+                    'f' || CAST(doc_id % 4 AS VARCHAR) AS stem,
+                    'target' AS origin
+                FROM documents WHERE doc_id < 40
+            ),
+            planted AS (
+                SELECT DISTINCT
+                    'doc://h/t/f' || CAST(doc_id % 4 AS VARCHAR) || '-'
+                        || CAST(doc_id % 7 + 2 AS VARCHAR) || '.mp4' AS url,
+                    'f' || CAST(doc_id % 4 AS VARCHAR) || '-'
+                        || CAST(doc_id % 7 + 2 AS VARCHAR) || '.mp4' AS name,
+                    'f' || CAST(doc_id % 4 AS VARCHAR) || '-'
+                        || CAST(doc_id % 7 + 2 AS VARCHAR) AS stem,
+                    'target' AS origin
+                FROM documents WHERE doc_id < 80
+            ),
+            u AS (
+                SELECT * FROM src
+                UNION ALL SELECT * FROM plain
+                UNION ALL SELECT * FROM planted
+            ),
+            flagged AS (
+                SELECT url, name, stem, origin,
+                       regexp_replace(url, '/[^/]*$', '') = 'doc://h/t'
+                           AS in_place,
+                       count(*) OVER (PARTITION BY name) > 1 AS clash,
+                       row_number() OVER (
+                           PARTITION BY name
+                           ORDER BY (regexp_replace(url, '/[^/]*$', '')
+                                     = 'doc://h/t') DESC, url
+                       ) AS rk
+                FROM u
+            ),
+            taken AS (
+                SELECT DISTINCT
+                    regexp_extract(name, '^(.*)-([1-9][0-9]*)\\.([^.]*)$', 1)
+                        AS t_stem,
+                    CAST(regexp_extract(name,
+                        '^(.*)-([1-9][0-9]*)\\.([^.]*)$', 2) AS BIGINT) AS t_i,
+                    regexp_extract(name, '^(.*)-([1-9][0-9]*)\\.([^.]*)$', 3)
+                        AS t_ext
+                FROM (SELECT name FROM plain UNION SELECT name FROM planted)
+                WHERE regexp_matches(name, '^(.*)-([1-9][0-9]*)\\.([^.]*)$')
+            ),
+            free AS (
+                SELECT st.stem, s.i,
+                       row_number() OVER (PARTITION BY st.stem ORDER BY s.i)
+                           AS j
+                FROM (SELECT DISTINCT stem FROM flagged WHERE clash) st,
+                     generate_series(2, 1000) s(i)
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM taken t
+                    WHERE t.t_stem = st.stem AND t.t_ext = 'mp4'
+                          AND t.t_i = s.i AND t.t_i >= 2
+                )
+            )
+            SELECT f.url, f.name,
+                   CASE WHEN f.clash AND f.rk > 1
+                        THEN f.stem || '-' || CAST(fr.i AS VARCHAR) || '.mp4'
+                   END AS new_name,
+                   f.origin,
+                   CAST(f.in_place AS BIGINT) AS in_place,
+                   CAST(f.clash AS BIGINT) AS clash
+            FROM flagged f
+            LEFT JOIN free fr ON fr.stem = f.stem AND fr.j = f.rk - 1
         """,
         "traversal_universe": """
             WITH t AS (

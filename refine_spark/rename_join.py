@@ -111,7 +111,6 @@ def join_plan(
     target_dir: str,
     clashes: str = "name_sequence",
     force: bool = False,
-    max_fix_iters: int = 4,
 ) -> DataFrame:
     """Join plan: move rows from `src` into `target_dir`.
 
@@ -154,41 +153,60 @@ def join_plan(
             "new_name", F.when(F.col("clash"), fmt)
         ).withColumn("skip", F.lit(False))
     else:  # name_sequence (W5): stem-{i}, i from 2, skipping taken names
-        taken = target.select(F.col("name").alias("taken_name")).distinct()
-        cand = tagged.withColumn(
+        # Reference semantics (join.rs:126-135): each clash group shares
+        # one counter 2,3,... and every probe CONSUMES a value, taken or
+        # not — so the k-th renamed member of the group receives exactly
+        # the k-th integer >= 2 whose `stem-{i}{.ext}` is NOT a name
+        # already in the target. That is an order statistic, not a loop:
+        # no retry bound, no unresolved collisions (round-2's
+        # max_fix_iters=4 silently gave up after 4 bumps).
+        #
+        # A taken target name can only block group (stem, ext) if it
+        # equals stem-'i'(.ext) literally; decompose each taken name once
+        # per possible extension shape (after-last-dot ext, or no ext)
+        # and equi-join the per-(stem, ext) sorted taken set to the group.
+        tn = target.select(F.col("name").alias("tname")).distinct()
+        ext_re = r"^(.*)-([1-9][0-9]*)\.([^.]*)$"
+        noext_re = r"^(.*)-([1-9][0-9]*)$"
+        parsed = tn.select(
+            F.regexp_extract("tname", ext_re, 1).alias("t_stem"),
+            F.regexp_extract("tname", ext_re, 2).alias("t_i"),
+            F.regexp_extract("tname", ext_re, 3).alias("t_ext"),
+        ).unionByName(
+            tn.select(
+                F.regexp_extract("tname", noext_re, 1).alias("t_stem"),
+                F.regexp_extract("tname", noext_re, 2).alias("t_i"),
+                F.lit("").alias("t_ext"),
+            )
+        )
+        group_taken = (
+            parsed.filter(F.col("t_i") != "")
+            .select("t_stem", "t_ext", F.col("t_i").cast("long").alias("t_i"))
+            .filter(F.col("t_i") >= 2)
+            .distinct()
+            .groupBy("t_stem", "t_ext")
+            .agg(F.sort_array(F.collect_set("t_i")).alias("_taken"))
+        )
+        cand = tagged.join(
+            F.broadcast(group_taken),
+            (F.col("stem") == F.col("t_stem")) & (F.col("ext") == F.col("t_ext")),
+            "left",
+        ).drop("t_stem", "t_ext")
+        # j-th renamed member (j = _rk - 1) starts at candidate j+1 = _rk;
+        # fold the ASCENDING taken list: each taken value <= the current
+        # candidate shifts it up by one — yields the j-th free integer
+        free_i = F.aggregate(
+            F.coalesce(F.col("_taken"), F.expr("CAST(array() AS ARRAY<BIGINT>)")),
+            F.col("_rk").cast("long"),
+            lambda acc, t: F.when(t <= acc, acc + F.lit(1).cast("long")).otherwise(acc),
+        )
+        plan = cand.withColumn(
             "new_name",
             F.when(
                 F.col("clash") & (F.col("_rk") > 1),
-                F.concat(F.col("stem"), F.lit("-"), F.col("_rk"), dot, F.col("ext")),
+                F.concat(F.col("stem"), F.lit("-"), free_i, dot, F.col("ext")),
             ),
-        ).withColumn("_bump", F.lit(0))
-        # iterative residual fix: bump rows whose generated name is taken
-        for _ in range(max_fix_iters):
-            conflicts = (
-                cand.filter(F.col("new_name").isNotNull())
-                .join(taken, F.col("new_name") == F.col("taken_name"), "left_semi")
-                .select("url")
-                .withColumn("_hit", F.lit(1))
-            )
-            cand = (
-                cand.join(conflicts, "url", "left")
-                .withColumn(
-                    "_bump",
-                    F.when(F.col("_hit") == 1, F.col("_bump") + 1).otherwise(F.col("_bump")),
-                )
-                .withColumn(
-                    "new_name",
-                    F.when(
-                        F.col("new_name").isNotNull(),
-                        F.concat(
-                            F.col("stem"), F.lit("-"),
-                            F.col("_rk") + F.col("_bump"), dot, F.col("ext"),
-                        ),
-                    ),
-                )
-                .drop("_hit")
-            )
-        plan = cand.withColumn("skip", F.lit(False)).drop("_bump")
+        ).withColumn("skip", F.lit(False)).drop("_taken")
 
     return plan.select(
         "url", "name", "new_name", "origin", "in_place", "clash", "skip"

@@ -250,6 +250,20 @@ def lsh_dup_pairs(
     )
 
 
+def _broadcast_row_cap(
+    dim: int, broadcast_max_rows: int | None, driver_budget_bytes: int
+) -> int:
+    """Rows the exact path may collect: byte-budget / row-bytes.
+
+    The broadcast matrix is float64, so a row costs dim*8 bytes — a row
+    cap that ignores dim (round-2 bug) OOMs the driver at high dim long
+    before the switch. An explicit broadcast_max_rows still wins (tests /
+    callers who know their memory)."""
+    if broadcast_max_rows is not None:
+        return broadcast_max_rows
+    return max(1, driver_budget_bytes // max(1, dim * 8))
+
+
 def cosine_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
@@ -258,18 +272,28 @@ def cosine_dup_pairs(
     n_planes: int = 8,
     cfg: DedupConfig = DEFAULT,
     dim: int | None = None,
-    broadcast_max_rows: int = 2_000_000,
+    broadcast_max_rows: int | None = None,
+    driver_budget_bytes: int = 512 * 1024 * 1024,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= t).
 
     Exact path (corpus fits a broadcast): one side broadcast as a
     normalized matrix, the other side block-matmuls per partition (no
     O(N^2)-row shuffle, no interpreted per-element expression).
-    Above `broadcast_max_rows` the exact path would OOM the driver, so it
-    auto-switches to the OR-amplified hyperplane-bucket join
-    (lsh_dup_pairs) — approximate but fully distributed."""
+    Above the byte-aware row cap (driver_budget_bytes / (dim*8), or an
+    explicit broadcast_max_rows) the exact path would OOM the driver, so
+    it auto-switches to the OR-amplified hyperplane-bucket join
+    (lsh_dup_pairs) — approximate but fully distributed. The gate probes
+    with limit(cap+1).count(), which early-terminates after cap+1 rows
+    instead of a full scan of the upstream lineage per call."""
     spark = embeddings.sparkSession
-    if embeddings.count() > broadcast_max_rows:
+    if dim is None:
+        head = embeddings.select(vec_col).first()
+        if head is None:  # empty corpus: empty pair set, correct schema
+            return spark.createDataFrame([], "id_a long, id_b long")
+        dim = len(head[0])
+    cap = _broadcast_row_cap(dim, broadcast_max_rows, driver_budget_bytes)
+    if embeddings.select(id_col).limit(cap + 1).count() > cap:
         return lsh_dup_pairs(
             embeddings, threshold, id_col, vec_col, cfg=cfg, dim=dim
         )

@@ -35,7 +35,7 @@ def rowset(cols, rows):
     return sorted(tuple(norm_cell(r[i]) for i in idx) for r in rows)
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: set[str] | None = None) -> int:
     spark = get_spark(app_name="oracle_check", cores=8, shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -45,6 +45,12 @@ def main(sf_dir: str) -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only:
+        queries = {k: v for k, v in queries.items() if k in only}
+        missing = only - set(queries)
+        if missing:
+            print(f"unknown query names: {sorted(missing)}")
+            return 1
     failures = []
     for name, fn in queries.items():
         try:
@@ -88,4 +94,9 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"))
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+    sys.exit(main(args[0] if args else "/root/testdata/sf0.001", only))

@@ -155,6 +155,58 @@ def test_join_name_sequence(spark):
     assert receipt["clashes"] >= 1
 
 
+def test_join_name_sequence_long_taken_run(spark):
+    """Reference parity (join.rs:126-135): the shared per-group counter
+    never gives up — with taken names report-2..report-7 (6 consecutive,
+    beyond round-2's max_fix_iters=4) the three renamed members get the
+    first three FREE integers 8, 9, 10. A second group exercises the
+    gap-skipping order statistic (taken {2, 4} -> free 3, 5), and an
+    extension-less group exercises the no-dot decomposition."""
+    src = _docs(
+        spark,
+        [
+            ("http://h/d1/report.txt", "report", "txt", 1),
+            ("http://h/d2/report.txt", "report", "txt", 2),
+            ("http://h/d3/report.txt", "report", "txt", 3),
+            ("http://h/d4/report.txt", "report", "txt", 4),
+            ("http://h/d1/notes.txt", "notes", "txt", 5),
+            ("http://h/d2/notes.txt", "notes", "txt", 6),
+            ("http://h/d3/notes.txt", "notes", "txt", 7),
+            ("http://h/d1/raw", "raw", "", 8),
+            ("http://h/d2/raw", "raw", "", 9),
+        ],
+    )
+    target = _docs(
+        spark,
+        [(f"http://h/t/report-{i}.txt", f"report-{i}", "txt", 10 + i)
+         for i in range(2, 8)]
+        + [
+            ("http://h/t/notes-2.txt", "notes-2", "txt", 30),
+            ("http://h/t/notes-4.txt", "notes-4", "txt", 31),
+            ("http://h/t/raw-2", "raw-2", "", 32),
+            # decoys that must NOT block anything: wrong ext, leading
+            # zero, non-integer tail
+            ("http://h/t/notes-3.md", "notes-3", "md", 33),
+            ("http://h/t/notes-05.txt", "notes-05", "txt", 34),
+            ("http://h/t/raw-x3", "raw-x3", "", 35),
+        ],
+    )
+    plan = join_plan(src, target, "http://h/t", clashes="name_sequence")
+    renamed = {
+        r["url"]: r["new_name"]
+        for r in plan.collect()
+        if r["new_name"] is not None
+    }
+    assert renamed == {
+        "http://h/d2/report.txt": "report-8.txt",
+        "http://h/d3/report.txt": "report-9.txt",
+        "http://h/d4/report.txt": "report-10.txt",
+        "http://h/d2/notes.txt": "notes-3.txt",
+        "http://h/d3/notes.txt": "notes-5.txt",
+        "http://h/d2/raw": "raw-3",
+    }
+
+
 def test_join_in_place_detection(spark):
     src = _docs(spark, [("http://h/t/already.txt", "already", "txt", 1)])
     target = _docs(spark, [])

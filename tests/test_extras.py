@@ -105,6 +105,32 @@ def test_lsh_dup_pairs_recall(spark):
     }
     assert switched <= exact
 
+    # byte-aware gate (round-3): a byte budget that holds only 10 of the
+    # 64-dim rows must route to the LSH path — output identical to a
+    # direct lsh_dup_pairs call (same planes, same tables)
+    tiny_budget = 64 * 8 * 10
+    routed = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_dup_pairs(
+            df, threshold=0.95, driver_budget_bytes=tiny_budget
+        ).collect()
+    }
+    assert routed == found
+
+    # empty corpus: empty result, stable schema, no first()-crash
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert cosine_dup_pairs(empty, threshold=0.95).count() == 0
+
+
+def test_broadcast_row_cap_math():
+    from refine_spark.simsearch import _broadcast_row_cap
+
+    assert _broadcast_row_cap(768, None, 512 * 1024 * 1024) == (
+        512 * 1024 * 1024
+    ) // (768 * 8)
+    assert _broadcast_row_cap(8, 123, 1) == 123  # explicit rows cap wins
+    assert _broadcast_row_cap(10**9, None, 1024) == 1  # never zero
+
 
 def test_multimodal_plumbing(spark):
     rows = [
