@@ -218,6 +218,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ngram_jaccard_pairs"] = ngram_jaccard_pairs
 
+    def cluster_avg_sim(spark, sf):
+        # A5 cluster stats DRIVER-GATED (dupes.rs:186-216,286-295 union-
+        # time (sum, count) accounting): connected components + per-
+        # cluster edge stats over the SQL-replayable jaccard edge set.
+        # Edge weights are micro-scaled to integer-valued doubles
+        # (round(1e6 * n_inter / n_union)) so the per-cluster sum is
+        # exact in IEEE doubles and order-independent; the output column
+        # is the integer sim SUM (avg = sum / n_edges / 1e6), keeping
+        # floats out of the hashed columns.
+        from refine_spark.cluster import cluster_stats, connected_components
+
+        e = ngram_jaccard_pairs(spark, sf).select(
+            F.col("id_a").cast("string").alias("src"),
+            F.col("id_b").cast("string").alias("dst"),
+            F.round(F.lit(1e6) * F.col("n_inter") / F.col("n_union"), 0).alias("sim"),
+        )
+        e = e.localCheckpoint(eager=True)  # edges feed CC and the stats join
+        labels = connected_components(e)
+        stats = cluster_stats(e, labels)
+        return stats.select(
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.round(F.col("avg_sim") * F.col("n_edges"), 0)
+            .cast("long")
+            .alias("sim_sum_micro"),
+        )
+
+    q["cluster_avg_sim"] = cluster_avg_sim
+
     def minhash_clusters(spark, sf):
         # MinHash -> LSH banding -> signature-verified edges -> connected
         # components, over the seeded synthetic corpus. Oracle: the
@@ -261,10 +291,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # winnowing guarantee (w + n - 1 <= min_substring) makes this
         # exactly the set of pairs sharing a >=48-char substring, which
         # the oracle recomputes first-principles (grid q-gram prefilter +
-        # exhaustive containment check)
+        # exhaustive containment check). The EDGE SET depends only on
+        # min_substring, so the (n, w) split is a free performance knob:
+        # 24-grams (n=24, w=25, 24+25-1=48) are ~20x rarer than round-2's
+        # 16-grams on tiny-vocab corpora — candidate pair mass drops from
+        # 188k to ~8k at sf0.1 and the hot-bucket pathology disappears
+        # (SCALE.md round-2 item; re-included in the bench wall).
         docs = _docs_as_pipeline_input(_read(spark, sf, "documents"))
         cfg = DedupConfig(
-            min_substring=48, winnow_ngram=16, winnow_window=33,
+            min_substring=48, winnow_ngram=24, winnow_window=25,
             exact_lcs_verify=True,
         )
         return substring_edges(docs, cfg).select("src", "dst")
@@ -953,9 +988,17 @@ def _planted_clusters_sql(n_docs: int, families: tuple[str, ...] | None) -> str:
 # md5-based 60-bit shingle SimHash, recomputed from first principles
 # (kept in lockstep with refine_spark/signatures.py: token_hash60 +
 # _shingle_strings + make_simhash_udf)
-_SIMHASH_CTE = r"""
+# LOCKSTEP (CLAUDE.md): tokenization must replay signatures.
+# normalize_for_shingles exactly — ASCII transliteration (clean.
+# translit_duckdb == clean._translit_str for Latin/Cyrillic/Greek) before
+# lowercasing and [a-z0-9]+ extraction, so non-ASCII graded text cannot
+# flip simhash parity.
+from refine_spark.clean import translit_duckdb as _translit_duckdb  # noqa: E402
+
+_SIMHASH_CTE = rf"""
 toks AS (
-  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+  SELECT doc_id, source,
+         regexp_extract_all(lower({_translit_duckdb('text')}), '[a-z0-9]+') AS tk
   FROM documents
 ),
 shingled AS (
@@ -1060,6 +1103,60 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnt ca ON id_a = ca.doc_id
             JOIN cnt cb ON id_b = cb.doc_id
             WHERE n_inter * 10 >= (ca.n + cb.n - n_inter) * 9
+        """,
+        # A5 avg-sim accounting gate: same jaccard edge set, connected
+        # components replayed as a recursive reachability CTE (cluster_id
+        # = min reachable vertex id as VARCHAR, the engine's min-label
+        # contract), per-cluster (n_edges, exact integer micro-sim sum).
+        "cluster_avg_sim": """
+            WITH RECURSIVE tok AS (
+                SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+                FROM documents
+            ),
+            cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                FROM tok a JOIN tok b USING (token)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ),
+            j AS (
+                SELECT id_a, id_b, n_inter,
+                       ca.n + cb.n - n_inter AS n_union
+                FROM inter
+                JOIN cnt ca ON id_a = ca.doc_id
+                JOIN cnt cb ON id_b = cb.doc_id
+                WHERE n_inter * 10 >= (ca.n + cb.n - n_inter) * 9
+            ),
+            edges AS (
+                SELECT CAST(id_a AS VARCHAR) AS a, CAST(id_b AS VARCHAR) AS b,
+                       CAST(round(1e6 * n_inter / n_union) AS BIGINT) AS w
+                FROM j
+            ),
+            nodes AS (SELECT a AS v FROM edges UNION SELECT b FROM edges),
+            sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+            reach AS (
+                SELECT v, v AS r FROM nodes
+                UNION
+                SELECT s.a AS v, reach.r AS r
+                FROM sym s JOIN reach ON reach.v = s.b
+            ),
+            labels AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY v),
+            sizes AS (
+                SELECT cluster_id, count(*) AS cluster_size
+                FROM labels GROUP BY cluster_id
+            ),
+            estats AS (
+                SELECT l.cluster_id, count(*) AS n_edges,
+                       sum(e.w) AS sim_sum_micro
+                FROM edges e JOIN labels l ON e.a = l.v
+                GROUP BY l.cluster_id
+            )
+            SELECT CAST(s.cluster_id AS BIGINT) AS cluster_id,
+                   CAST(s.cluster_size AS BIGINT) AS cluster_size,
+                   CAST(n_edges AS BIGINT) AS n_edges,
+                   CAST(sim_sum_micro AS BIGINT) AS sim_sum_micro
+            FROM sizes s JOIN estats USING (cluster_id)
         """,
         "size_kind_groups": """
             SELECT n_chars AS size, coalesce(lang, 'unknown') AS kind,

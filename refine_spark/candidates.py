@@ -60,6 +60,38 @@ def _pairs_from_buckets(
     return pairs.select("p.src", "p.dst", "capped")
 
 
+def bucket_cap_stats(
+    keyed: DataFrame, id_col: str, key_cols: list[str], cap: int
+) -> DataFrame:
+    """One-row accounting of what the band cap silently drops: over the
+    same bucket frame _pairs_from_buckets consumes, count multi-member
+    buckets, capped buckets, and the exact pair shortfall
+    C(n,2) - C(cap,2) per capped bucket. A silent cap at scale reads as
+    full coverage — pipeline passes log this row to StageRunner metrics
+    (round-2 verdict item 10)."""
+    sizes = (
+        keyed.groupBy(*key_cols)
+        .agg(F.count_distinct(F.col(id_col)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    capl = F.lit(cap)
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.coalesce(F.sum((F.col("n") > cap).cast("long")), F.lit(0)).alias(
+            "n_capped"
+        ),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("n") > cap,
+                    (F.col("n") * (F.col("n") - 1) - capl * (capl - 1)) / 2,
+                ).otherwise(0.0)
+            ).cast("long"),
+            F.lit(0),
+        ).alias("est_dropped_pairs"),
+    )
+
+
 def lsh_band_keys(df: DataFrame, cfg: DedupConfig = DEFAULT, sig_col: str = "minhash") -> DataFrame:
     """Explode the MinHash signature into (band, band_key) rows, JVM-side."""
     r = cfg.lsh_rows
@@ -81,6 +113,12 @@ def lsh_candidates(
     banded = lsh_band_keys(docs_with_sig.select("url", "minhash"), cfg)
     pairs = _pairs_from_buckets(banded, "url", ["band", "band_key"], cfg.band_cap)
     return pairs.select("src", "dst").dropDuplicates(["src", "dst"])
+
+
+def lsh_cap_stats(docs_with_sig: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
+    """Cap accounting for the MinHash-LSH band join (one-row DF)."""
+    banded = lsh_band_keys(docs_with_sig.select("url", "minhash"), cfg)
+    return bucket_cap_stats(banded, "url", ["band", "band_key"], cfg.band_cap)
 
 
 def prefix_block_candidates(

@@ -23,23 +23,102 @@ from pyspark.sql import Column, functions as F, types as T
 
 from .config import STOPWORDS, TAGS_MULTI_PATTERN
 
-# A small supplement for characters NFKD alone cannot decompose to ASCII;
-# mirrors the visible behavior of the reference's `deunicode` on common
-# European text (full deunicode tables are out of scope; tests pin these).
-_TRANSLIT_EXTRA = {
-    "æ": "ae", "Æ": "AE", "œ": "oe", "Œ": "OE", "ø": "o", "Ø": "O",
-    "ß": "ss", "đ": "d", "Đ": "D", "ħ": "h", "Ħ": "H", "ł": "l", "Ł": "L",
-    "þ": "th", "Þ": "Th", "ð": "d", "Ð": "D", "ı": "i", "ŋ": "ng", "Ŋ": "NG",
-    "–": "-", "—": "-", "‘": "'", "’": "'", "“": '"', "”": '"', "…": "...",
+# Supplement for characters NFKD alone cannot decompose to ASCII,
+# mirroring the reference's `deunicode` step (dupes.rs:543). deunicode's
+# full tables derive from the published Text::Unidecode romanization;
+# this subset covers Latin extras plus the Cyrillic and Greek alphabets
+# with the same conventions (zh/kh/ts/ch/sh/shch, th/ph/ps/x), so
+# non-Latin near-name dedup no longer collapses to empty strings.
+# Documented policy: hard/soft signs map to '' (Unidecode emits quote
+# marks, which the tokenizer would drop anyway — behavior-identical for
+# dedup); scripts beyond Latin/Cyrillic/Greek (CJK, Arabic, ...) remain
+# out of scope and are dropped.
+_LATIN_EXTRA = {
+    "æ": "ae", "œ": "oe", "ø": "o", "ß": "ss", "đ": "d", "ħ": "h",
+    "ł": "l", "þ": "th", "ð": "d", "ŋ": "ng",
 }
+_CYRILLIC = {
+    "а": "a", "б": "b", "в": "v", "г": "g", "д": "d", "е": "e",
+    "ж": "zh", "з": "z", "и": "i", "к": "k", "л": "l", "м": "m",
+    "н": "n", "о": "o", "п": "p", "р": "r", "с": "s", "т": "t",
+    "у": "u", "ф": "f", "х": "kh", "ц": "ts", "ч": "ch", "ш": "sh",
+    "щ": "shch", "ъ": "", "ы": "y", "ь": "", "э": "e", "ю": "yu",
+    "я": "ya",
+    # Ukrainian / Belarusian / Serbian additions
+    "є": "ye", "і": "i", "ї": "yi", "ґ": "g", "ў": "u",
+    "љ": "lj", "њ": "nj", "џ": "dz", "ђ": "dj", "ћ": "c",
+}
+_GREEK = {
+    "α": "a", "β": "b", "γ": "g", "δ": "d", "ε": "e", "ζ": "z",
+    "η": "e", "θ": "th", "ι": "i", "κ": "k", "λ": "l", "μ": "m",
+    "ν": "n", "ξ": "x", "ο": "o", "π": "p", "ρ": "r", "σ": "s",
+    "ς": "s", "τ": "t", "υ": "u", "φ": "ph", "χ": "kh", "ψ": "ps",
+    "ω": "o",
+}
+_PUNCT = {"–": "-", "—": "-", "‘": "'", "’": "'", "“": '"', "”": '"'}
+
+
+def _with_upper(table: dict[str, str]) -> dict[str, str]:
+    out = dict(table)
+    for src, dst in table.items():
+        up = src.upper()
+        if up != src and len(up) == 1:
+            out[up] = dst.capitalize() if dst else ""
+    return out
+
+
+TRANSLIT_TABLE: dict[str, str] = {
+    **_with_upper(_LATIN_EXTRA),
+    **_with_upper(_CYRILLIC),
+    **_with_upper(_GREEK),
+    **_PUNCT,
+    "ı": "i",  # dotless i (its uppercase is plain I)
+}
+_TRANSLIT_EXTRA = TRANSLIT_TABLE  # backwards-compat alias
 
 
 def _translit_str(s: str) -> str:
     if s is None:
         return None
-    s = "".join(_TRANSLIT_EXTRA.get(c, c) for c in s)
+    # NFKD first so precomposed accents (é, ё, й, ά, ...) reduce to their
+    # base char before the table lookup — the table then only needs base
+    # forms, and the same holds for the DuckDB replay (strip_accents).
     decomposed = unicodedata.normalize("NFKD", s)
-    return "".join(c for c in decomposed if not unicodedata.combining(c) and ord(c) < 128)
+    out = []
+    for c in decomposed:
+        if unicodedata.combining(c):
+            continue
+        mapped = TRANSLIT_TABLE.get(c)
+        if mapped is not None:
+            out.append(mapped)
+        elif ord(c) < 128:
+            out.append(c)
+    return "".join(out)
+
+
+def translit_duckdb(expr: str) -> str:
+    """Render `_translit_str(expr)` as a DuckDB SQL expression so oracles
+    replay transliteration in lockstep with the engine: strip_accents
+    (== NFKD + drop-combining for Latin/Cyrillic/Greek — verified) ->
+    the same table as a replace() chain (inputs are non-ASCII, outputs
+    ASCII, so the chain is order-independent) -> drop remaining
+    non-ASCII. Known divergence (documented, engine-only): NFKD compat
+    decompositions such as ligature fi or fullwidth forms, which
+    strip_accents leaves alone."""
+    # one flat CASE per character (a nested replace() chain trips
+    # DuckDB's 128-deep binder recursion limit); non-ASCII chars not in
+    # the table map to ''
+    arms = " ".join(
+        f"WHEN '{src}' THEN '{dst.replace(chr(39), chr(39) * 2)}'"
+        for src, dst in TRANSLIT_TABLE.items()
+    )
+    return (
+        "coalesce(list_aggregate(list_transform("
+        f"regexp_extract_all(strip_accents({expr}), '(?s).'), "
+        f"c -> CASE c {arms} "
+        "ELSE CASE WHEN ord(c) < 128 THEN c ELSE '' END END), "
+        "'string_agg', ''), '')"
+    )
 
 
 @F.pandas_udf(T.StringType())

@@ -17,9 +17,11 @@ metrics), matching the north rule's per-stage lineage requirement.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .candidates import lsh_candidates
+from .candidates import lsh_candidates, lsh_cap_stats
 from .clean import with_cleaned_name
 from .cluster import cluster_stats, connected_components, name_pass_clusters
 from .config import DedupConfig, DEFAULT
@@ -27,8 +29,8 @@ from .checkpoint import StageRunner
 from .exact import exact_edges, with_size_kind
 from .scan import with_identity_columns
 from .scoring import name_pass_edges
-from .signatures import simhash_edges, with_signatures
-from .substring import substring_edges
+from .signatures import simhash_cap_stats, simhash_edges, with_signatures
+from .substring import substring_cap_stats, substring_edges
 
 
 def minhash_edges(docs_with_sig: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
@@ -54,6 +56,28 @@ def minhash_edges(docs_with_sig: DataFrame, cfg: DedupConfig = DEFAULT) -> DataF
         .withColumn("sim", est)
         .filter(F.col("sim") >= cfg.threshold)
         .select("src", "dst", "sim", F.lit("text").alias("pass_name"))
+    )
+
+
+def _log_cap_stats(runner: StageRunner, stage: str, stats_df: DataFrame) -> None:
+    """Record band-cap drop accounting as a metrics row (verdict item:
+    a silent cap at scale must not read as full coverage). Skipped in
+    lazy/bench mode — the accounting is a stage-shaped extra pass."""
+    if runner.lazy:
+        return
+    t0 = time.monotonic()
+    row = stats_df.collect()[0]
+    runner.metrics.append(
+        {
+            "stage": stage,
+            "rows": row["n_buckets"],
+            "partitions": -1,
+            "wall_sec": round(time.monotonic() - t0, 3),
+            "extra": (
+                f"cap_stats capped_buckets={row['n_capped']} "
+                f"est_dropped_pairs={row['est_dropped_pairs']}"
+            ),
+        }
     )
 
 
@@ -96,6 +120,7 @@ def run_dedup(
             edge_frames.append(
                 runner.run("text_edges", lambda: minhash_edges(signed, cfg))
             )
+            _log_cap_stats(runner, "text_edges_cap", lsh_cap_stats(signed, cfg))
         if "simhash" in passes:
             edge_frames.append(
                 # star expansion: identical-fingerprint groups contribute
@@ -104,6 +129,9 @@ def run_dedup(
                     "simhash_edges",
                     lambda: simhash_edges(signed, cfg, expand="star"),
                 )
+            )
+            _log_cap_stats(
+                runner, "simhash_edges_cap", simhash_cap_stats(signed, cfg)
             )
 
     if "name" in passes:
@@ -121,6 +149,9 @@ def run_dedup(
     if "substring" in passes:
         edge_frames.append(
             runner.run("substring_edges", lambda: substring_edges(base, cfg))
+        )
+        _log_cap_stats(
+            runner, "substring_edges_cap", substring_cap_stats(base, cfg)
         )
 
     all_edges = edge_frames[0]

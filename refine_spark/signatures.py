@@ -268,6 +268,21 @@ def simhash_edges(docs_with_sig, cfg: DedupConfig = DEFAULT, expand: str = "pair
     return intra.unionByName(cross).select("src", "dst", sim_expr, pass_col)
 
 
+def simhash_cap_stats(docs_with_sig, cfg: DedupConfig = DEFAULT):
+    """Cap accounting for the simhash band join (one-row DF), over the
+    same dedupe-before-banding rep frame simhash_edges buckets."""
+    from .candidates import bucket_cap_stats
+
+    reps = (
+        docs_with_sig.select("url", "simhash")
+        .groupBy("simhash")
+        .agg(F.min("url").alias("url"))
+        .select("url", "simhash")
+    )
+    banded = simhash_band_keys(reps, cfg)
+    return bucket_cap_stats(banded, "url", ["band", "band_key"], cfg.band_cap)
+
+
 def make_signatures_udf(cfg: DedupConfig = DEFAULT):
     """Fused MinHash + SimHash kernel: one pandas UDF computes BOTH
     signatures per Arrow batch, sharing the tokenize + shingle work that

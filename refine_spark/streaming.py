@@ -87,6 +87,57 @@ def match_batch(
     )
 
 
+INDEX_BUCKETS = 16  # key-hash partition fan-out of the state tables
+
+
+def _bucketed(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Attach the key-hash bucket partition column."""
+    return df.withColumn(
+        "bucket", F.pmod(F.xxhash64(*key_cols), F.lit(INDEX_BUCKETS)).cast("int")
+    )
+
+
+def compact_index(
+    spark: SparkSession, path: str, max_files_per_bucket: int = 4
+) -> list[int]:
+    """Partition-scoped compaction: rewrite ONLY bucket directories that
+    accumulated more than `max_files_per_bucket` parquet files; clean
+    buckets are untouched. Write volume is O(dirty-bucket rows), never
+    O(corpus) — round-2's whole-index rewrite became a corpus-scale job
+    at 10^12 keys (Iceberg's binpack-by-partition compaction analog).
+    Returns the compacted bucket ids."""
+    import shutil
+
+    compacted: list[int] = []
+    if not os.path.exists(path):
+        return compacted
+    for entry in sorted(os.listdir(path)):
+        if not entry.startswith("bucket="):
+            continue
+        bdir = os.path.join(path, entry)
+        n_files = sum(
+            1 for f in os.listdir(bdir)
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        if n_files <= max_files_per_bucket:
+            continue
+        bucket_id = int(entry.split("=", 1)[1])
+        # snapshot swap with '_'-prefixed scratch names: Spark's partition
+        # discovery ignores _-prefixed paths, so a crash mid-swap never
+        # corrupts table reads (atomic_overwrite's `<dir>.prev` naming
+        # would parse as a bogus partition value here)
+        staging = os.path.join(path, f"_compact_staging_{bucket_id}")
+        backup = os.path.join(path, f"_compact_prev_{bucket_id}")
+        spark.read.parquet(bdir).coalesce(1).write.mode("overwrite").parquet(staging)
+        if os.path.exists(backup):
+            shutil.rmtree(backup)
+        os.rename(bdir, backup)
+        os.rename(staging, bdir)
+        shutil.rmtree(backup)
+        compacted.append(bucket_id)
+    return compacted
+
+
 def run_incremental_dedup(
     spark: SparkSession,
     input_dir: str,
@@ -94,22 +145,23 @@ def run_incremental_dedup(
     cfg: DedupConfig = DEFAULT,
     schema=None,
     compact_every: int = 16,
+    max_files_per_bucket: int = 4,
 ):
     """readStream over a parquet drop directory; per micro-batch match +
     index update via foreachBatch. Returns the StreamingQuery.
 
-    State tables live under state_dir/{exact,lsh}; the streaming
-    checkpoint under state_dir/_checkpoint makes restarts exactly-once.
+    State tables live under state_dir/{exact,lsh}, hash-partitioned into
+    INDEX_BUCKETS `bucket=` directories; the streaming checkpoint under
+    state_dir/_checkpoint makes restarts exactly-once.
 
     Scale contract (round-2 fix): each micro-batch APPENDS only the
     batch's novel keys — per-batch write volume is O(batch), never
     O(corpus). Appending only keys absent from the current index keeps
     each key unique (foreachBatch batches are serial), so reads need no
-    dedup; every `compact_every` batches the accumulated small files are
-    rewritten once via atomic snapshot swap (the Iceberg-compaction
-    analog) to bound file counts."""
+    dedup. Every `compact_every` batches, compact_index rewrites ONLY the
+    buckets whose small-file count exceeded max_files_per_bucket
+    (round-3: partition-scoped, no more full-index rewrites)."""
     from . import schema as schemas
-    from .apply import atomic_overwrite
 
     schema = schema or schemas.DOCUMENTS
     exact_path = os.path.join(state_dir, "exact")
@@ -135,20 +187,21 @@ def run_incremental_dedup(
             matched.filter(F.col("rep").isNotNull()).select("url"), "url", "left_anti"
         ).localCheckpoint(eager=True)
         if not novel.isEmpty():
-            # append ONLY keys the index does not already hold: O(batch)
-            exact_index(novel, cfg).join(
-                exact_idx, "sample_key", "left_anti"
-            ).write.mode("append").parquet(exact_path)
-            lsh_index(novel, cfg).join(
-                lsh_idx, ["band", "band_key"], "left_anti"
-            ).write.mode("append").parquet(lsh_path)
+            # append ONLY keys the index does not already hold: O(batch),
+            # hash-partitioned so compaction can stay bucket-scoped
+            _bucketed(
+                exact_index(novel, cfg).join(exact_idx, "sample_key", "left_anti"),
+                ["sample_key"],
+            ).write.mode("append").partitionBy("bucket").parquet(exact_path)
+            _bucketed(
+                lsh_index(novel, cfg).join(
+                    lsh_idx, ["band", "band_key"], "left_anti"
+                ),
+                ["band", "band_key"],
+            ).write.mode("append").partitionBy("bucket").parquet(lsh_path)
         if batch_id > 0 and batch_id % compact_every == 0:
-            for p, ddl in (
-                (exact_path, "sample_key string, rep string"),
-                (lsh_path, "band int, band_key long, rep string"),
-            ):
-                if os.path.exists(p):
-                    atomic_overwrite(_load(p, ddl).coalesce(8), p)
+            for p in (exact_path, lsh_path):
+                compact_index(spark, p, max_files_per_bucket)
 
     stream = (
         spark.readStream.schema(schema)

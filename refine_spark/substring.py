@@ -69,6 +69,16 @@ def winnow_fingerprints(docs: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFram
     return docs.select("url", "text").mapInPandas(gen, "url string, fp long")
 
 
+def substring_cap_stats(docs: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
+    """Cap accounting for the winnowing-fingerprint bucket join (one-row
+    DF). Recomputes fingerprints — intended for checkpointed (non-lazy)
+    pipeline runs where the accounting is worth one extra narrow pass."""
+    from .candidates import bucket_cap_stats
+
+    fps = winnow_fingerprints(docs, cfg)
+    return bucket_cap_stats(fps, "url", ["fp"], cfg.band_cap)
+
+
 def substring_edges(docs: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
     """Edges (src, dst, sim, 'substring') for pairs sharing a substring of
     length >= cfg.min_substring; sim = lcs_len / min(text lengths)."""

@@ -81,9 +81,16 @@ def test_incremental_dedup_two_batches(spark, tmp_path):
     # scale contract: batch N's index write is O(batch), not O(corpus) —
     # batch-1 parquet files must survive batch 2 untouched (append, no
     # rewrite), and no key may be duplicated by the appends
-    exact_files = {
-        f for f in os.listdir(os.path.join(state, "exact")) if f.endswith(".parquet")
-    }
+    def _pq_files(root):
+        return {
+            os.path.relpath(os.path.join(dp, f), root)
+            for dp, _, fs in os.walk(root)
+            for f in fs
+            if f.endswith(".parquet")
+        }
+
+    exact_files = _pq_files(os.path.join(state, "exact"))
+    assert exact_files, "bucketed index must contain parquet files"
     third = docs.iloc[:10].copy()
     third["url"] = third["url"] + "?repost=2"
     extra = docs.iloc[half:].copy()  # genuinely novel docs
@@ -94,9 +101,7 @@ def test_incremental_dedup_two_batches(spark, tmp_path):
     q3 = run_incremental_dedup(spark, in_dir + "/*", state)
     q3.awaitTermination(300)
 
-    exact_files_after = {
-        f for f in os.listdir(os.path.join(state, "exact")) if f.endswith(".parquet")
-    }
+    exact_files_after = _pq_files(os.path.join(state, "exact"))
     assert exact_files <= exact_files_after, "append must not rewrite old files"
     idx = spark.read.parquet(os.path.join(state, "exact"))
     assert idx.count() == idx.select("sample_key").distinct().count()
@@ -152,3 +157,80 @@ def test_probe_backoff_schedule(spark):
         raise OSError("transport")
 
     assert probe_one("x", boom, retries=0, sleeper=w2.append) == "failed"
+
+
+def test_partition_scoped_compaction(spark, tmp_path):
+    """Compaction write volume is O(dirty buckets), not O(corpus): only
+    bucket dirs over the small-file threshold are rewritten (to one
+    file); clean buckets keep their exact files; rows and keys survive
+    unchanged; scratch dirs don't leak into partition discovery."""
+    import pandas as pd
+
+    from refine_spark.streaming import _bucketed, compact_index
+
+    path = str(tmp_path / "idx")
+
+    def broad(i):
+        return pd.DataFrame(
+            {
+                "sample_key": [f"k{i}_{j}" for j in range(40)],
+                "rep": [f"u{i}_{j}" for j in range(40)],
+            }
+        )
+
+    for i in range(2):  # 2 broad appends -> every touched bucket has <=2 files
+        _bucketed(spark.createDataFrame(broad(i)), ["sample_key"]).coalesce(
+            1
+        ).write.mode("append").partitionBy("bucket").parquet(path)
+
+    # find 4 distinct keys that hash to ONE bucket, append them one by one
+    # -> exactly that bucket crosses the 4-file threshold
+    cand = pd.DataFrame(
+        {"sample_key": [f"hot{j}" for j in range(64)], "rep": "r"}
+    )
+    keyed = _bucketed(spark.createDataFrame(cand), ["sample_key"]).collect()
+    by_bucket = {}
+    for r in keyed:
+        by_bucket.setdefault(r["bucket"], []).append(r["sample_key"])
+    hot_bucket, hot_keys = next(
+        (b, ks) for b, ks in by_bucket.items() if len(ks) >= 4
+    )
+    for k in hot_keys[:4]:
+        one = pd.DataFrame({"sample_key": [k], "rep": ["r"]})
+        _bucketed(spark.createDataFrame(one), ["sample_key"]).coalesce(
+            1
+        ).write.mode("append").partitionBy("bucket").parquet(path)
+
+    def counts():
+        return {
+            int(d.split("=")[1]): sorted(
+                f
+                for f in os.listdir(os.path.join(path, d))
+                if f.endswith(".parquet")
+            )
+            for d in os.listdir(path)
+            if d.startswith("bucket=")
+        }
+
+    before = counts()
+    dirty = {b for b, fs in before.items() if len(fs) > 4}
+    clean = {b for b, fs in before.items() if len(fs) <= 4}
+    assert dirty == {hot_bucket} and clean
+    rows_before = spark.read.parquet(path).count()
+    keys_before = {
+        r["sample_key"] for r in spark.read.parquet(path).collect()
+    }
+
+    compacted = compact_index(spark, path, max_files_per_bucket=4)
+    assert sorted(compacted) == sorted(dirty)
+
+    after = counts()
+    assert len(after[hot_bucket]) == 1  # dirty bucket -> one file
+    for b in clean:  # clean buckets byte-untouched (same file names)
+        assert after[b] == before[b]
+    # table reads stay intact: same rows, same keys, no scratch partitions
+    assert spark.read.parquet(path).count() == rows_before
+    assert {
+        r["sample_key"] for r in spark.read.parquet(path).collect()
+    } == keys_before
+    assert not any(e.startswith("_compact") for e in os.listdir(path))

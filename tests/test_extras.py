@@ -289,3 +289,56 @@ def test_png_decoder_handles_all_filters():
         + chunk(b"IEND", b"")
     )
     assert np.array_equal(decode_png(payload), px)
+
+
+def test_simhash_nonascii_lockstep(spark):
+    """ADVICE round-2: engine tokenization transliterates before
+    shingling; the DuckDB oracle CTE must replay it char-for-char, or
+    any non-ASCII graded text flips simhash parity. Pins the full
+    engine<->DuckDB fingerprint equality on Latin-accented, Cyrillic,
+    and Greek text plus the transliteration vectors themselves."""
+    import importlib.util
+
+    import duckdb
+
+    from refine_spark.clean import _translit_str
+    from refine_spark.signatures import make_simhash_udf, normalize_for_shingles
+
+    assert _translit_str("café résumé naïve") == "cafe resume naive"
+    assert _translit_str("Привет") == "Privet"
+    assert _translit_str("Щука ёж йогурт") == "Shchuka ezh iogurt"
+    assert _translit_str("ψυχή") == "psukhe"
+    assert _translit_str("Ελλάδα") == "Ellada"
+    assert normalize_for_shingles("café résumé naïve") == ["cafe", "resume", "naive"]
+
+    spec = importlib.util.spec_from_file_location(
+        "entrymod", "/root/repo/__spark_entry__.py"
+    )
+    entrymod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entrymod)
+
+    texts = [
+        "café résumé naïve déjà vu",
+        "Привет мир жизнь хорошо щука ёлка",
+        "καλημέρα κόσμε ψυχή χαρά ωραία",
+        "mixed Щука and ψυχή tokens 42 naïve",
+        "",
+    ]
+    pdf = pd.DataFrame(
+        {"doc_id": list(range(len(texts))), "source": "s", "text": texts}
+    )
+    sdf = spark.createDataFrame(pdf)
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in sdf.withColumn(
+            "simhash", make_simhash_udf()(F.col("text"))
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    oracle = dict(
+        con.execute(
+            f"WITH {entrymod._SIMHASH_CTE} SELECT doc_id, simhash FROM simhashes"
+        ).fetchall()
+    )
+    assert got == oracle

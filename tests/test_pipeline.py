@@ -222,3 +222,29 @@ def test_simhash_edges_hot_bucket_exact(spark):
     }
     assert cc_star == cc_pairs
     assert len(set(cc_star.values())) == 1  # a+b merged, z absent
+
+
+def test_cap_stats_metrics_logged(spark):
+    """Band-cap drop volume must be surfaced, not silent: non-lazy runs
+    log one cap_stats metrics row per bucketed pass, and a tiny band_cap
+    on a dup-heavy corpus reports a positive dropped-pair estimate for
+    the LSH pass (identical docs collide in every band)."""
+    import dataclasses
+    import re
+
+    from refine_spark.config import DEFAULT
+
+    docs, _ = synth.to_spark(spark, n_docs=150)
+    tiny = dataclasses.replace(DEFAULT, band_cap=2)
+    result = run_dedup(spark, docs, cfg=tiny, passes=("text", "simhash", "substring"))
+    rows = {m["stage"]: m for m in result["metrics"]}
+    for stage in ("text_edges_cap", "simhash_edges_cap", "substring_edges_cap"):
+        assert stage in rows, f"missing {stage} metrics row"
+        assert rows[stage]["extra"].startswith("cap_stats ")
+    m = re.search(r"est_dropped_pairs=(\d+)", rows["text_edges_cap"]["extra"])
+    assert m and int(m.group(1)) > 0
+
+    # default cap on the same corpus: nothing dropped, accounting says so
+    result2 = run_dedup(spark, docs, passes=("text",))
+    extra = {m["stage"]: m for m in result2["metrics"]}["text_edges_cap"]["extra"]
+    assert "capped_buckets=0" in extra and "est_dropped_pairs=0" in extra
