@@ -629,6 +629,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["empty_parents_q"] = empty_parents_q
 
+    def root_validation(spark, sf):
+        # S4/O5 input-root validation (input.rs:63-99): sort + exact-
+        # duplicate drop with a dropped-count receipt. Driver-side BY
+        # DESIGN — root validation happens before any job exists (the
+        # list is ~CLI-argument sized); the paths derive from the
+        # documents table with planted duplicates (doc_id % 3 per
+        # source), so the dedupe arithmetic is data-dependent.
+        from refine_spark.universe import validate_roots
+
+        docs = _read(spark, sf, "documents")
+        rows = docs.select(
+            F.concat(
+                F.lit("/crawl/"), "source", F.lit("/d"),
+                (F.col("doc_id") % 3).cast("string"),
+            ).alias("p")
+        ).collect()
+        roots, dropped = validate_roots([r["p"] for r in rows])
+        return spark.createDataFrame(
+            [(r, i + 1, dropped) for i, r in enumerate(roots)],
+            "root string, rank long, n_dropped long",
+        )
+
+    q["root_validation"] = root_validation
+
+    def apply_dir_renames(spark, sf):
+        # S9/O4 apply with DIRECTORY rows (rename.rs deepest-first apply
+        # order, collapsed declaratively: each ancestor segment maps by
+        # its ORIGINAL prefix — apply.apply_rename_with_dirs). Every
+        # even-k directory dK renames to dKx and every doc_id%5==0 leaf
+        # p{id}.html -> q{id}.html; the oracle reconstructs the rewritten
+        # url from first principles.
+        from refine_spark.apply import apply_rename_with_dirs
+
+        docs = _read(spark, sf, "documents")
+        k = (F.col("doc_id") % 7).cast("string")
+        url = F.concat(
+            F.lit("doc://h/"), "source", F.lit("/d"), k, F.lit("/p"),
+            F.col("doc_id").cast("string"), F.lit(".html"),
+        )
+        files = docs.select(url.alias("url")).withColumn("orig", F.col("url"))
+        dirs = (
+            docs.select("source", (F.col("doc_id") % 7).alias("k"))
+            .distinct()
+            .filter(F.col("k") % 2 == 0)
+        )
+        ks = F.col("k").cast("string")
+        dir_plan = dirs.select(
+            F.concat(F.lit("h/"), "source", F.lit("/d"), ks).alias("url"),
+            F.concat(F.lit("d"), ks).alias("name"),
+            F.concat(F.lit("d"), ks, F.lit("x")).alias("new_name"),
+            F.lit(True).alias("changed"),
+            F.lit(False).alias("blocked"),
+            F.lit(True).alias("is_dir"),
+        )
+        file_plan = docs.filter(F.col("doc_id") % 5 == 0).select(
+            url.alias("url"),
+            F.concat(F.lit("p"), F.col("doc_id").cast("string"), F.lit(".html")).alias("name"),
+            F.concat(F.lit("q"), F.col("doc_id").cast("string"), F.lit(".html")).alias("new_name"),
+            F.lit(True).alias("changed"),
+            F.lit(False).alias("blocked"),
+            F.lit(False).alias("is_dir"),
+        )
+        out = apply_rename_with_dirs(files, dir_plan.unionByName(file_plan))
+        return out.select(
+            F.col("orig").alias("old_url"), F.col("url").alias("new_url")
+        )
+
+    q["apply_dir_renames"] = apply_dir_renames
+
     def list_by_count(spark, sf):
         # O2 By::Count (list.rs:45-50,78-83): per-dir size/count
         # aggregates ordered count-desc with natural-path secondary;
@@ -1622,6 +1691,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT path, CAST(level AS BIGINT) AS level FROM bp
             WHERE path NOT IN (SELECT path FROM ap)
+        """,
+        "apply_dir_renames": """
+            SELECT 'doc://h/' || source || '/d' || CAST(doc_id % 7 AS VARCHAR)
+                       || '/p' || CAST(doc_id AS VARCHAR) || '.html' AS old_url,
+                   'doc://h/' || source || '/d' || CAST(doc_id % 7 AS VARCHAR)
+                       || CASE WHEN doc_id % 7 % 2 = 0 THEN 'x' ELSE '' END
+                       || '/' || CASE WHEN doc_id % 5 = 0 THEN 'q' ELSE 'p' END
+                       || CAST(doc_id AS VARCHAR) || '.html' AS new_url
+            FROM documents
+        """,
+        "root_validation": """
+            WITH p AS (
+                SELECT '/crawl/' || source || '/d'
+                           || CAST(doc_id % 3 AS VARCHAR) AS root
+                FROM documents
+            ),
+            u AS (SELECT DISTINCT root FROM p)
+            SELECT root,
+                   CAST(row_number() OVER (ORDER BY root) AS BIGINT) AS rank,
+                   CAST((SELECT count(*) FROM p) - (SELECT count(*) FROM u)
+                        AS BIGINT) AS n_dropped
+            FROM u
         """,
         "list_by_count": f"""
             WITH dirs AS (

@@ -29,15 +29,37 @@ def _pairs_from_buckets(
 ) -> DataFrame:
     """Group rows by blocking key and emit unique (src < dst) pairs.
 
-    Buckets larger than `cap` are truncated deterministically (sorted ids)
-    and flagged via the `capped` column so callers can log dropped volume.
-    """
-    buckets = keyed.groupBy(*key_cols).agg(
-        F.sort_array(F.collect_set(F.col(id_col))).alias("ids")
+    Buckets larger than `cap` are truncated deterministically (the cap
+    SMALLEST ids) and flagged via the `capped` column so callers can log
+    dropped volume.
+
+    The cap is enforced BEFORE any aggregation buffer exists: a window
+    row_number keeps only the cap smallest ids per bucket, so a hot
+    bucket never materializes more than `cap` ids in executor memory.
+    (The previous collect_set-then-slice built the FULL set per bucket
+    inside the aggregation buffer first — observed JVM heap exhaustion
+    at 800k docs, where 60-bit fingerprints band into a 2^15-value key
+    space and skewed buckets reach 10^5 members. WindowExec spills big
+    partitions to disk; hash-agg buffers don't.) The window sort and the
+    following groupBy share the same hash partitioning, so this is still
+    ONE shuffle."""
+    from pyspark.sql import Window as W
+
+    uniq = keyed.select(*key_cols, id_col).dropDuplicates([*key_cols, id_col])
+    w = W.partitionBy(*key_cols)
+    ranked = uniq.withColumn(
+        "_rn", F.row_number().over(w.orderBy(id_col))
+    ).withColumn("_n", F.count(F.lit(1)).over(w))
+    buckets = (
+        ranked.filter(F.col("_rn") <= cap)
+        .groupBy(*key_cols)
+        .agg(
+            F.sort_array(F.collect_list(F.col(id_col))).alias("ids"),
+            F.max("_n").alias("_total"),
+        )
+        .filter(F.size("ids") > 1)
+        .withColumn("capped", F.col("_total") > cap)
     )
-    buckets = buckets.filter(F.size("ids") > 1).withColumn(
-        "capped", F.size("ids") > cap
-    ).withColumn("ids", F.slice("ids", 1, cap))
     # all i<j combinations, generated JVM-side with higher-order functions
     pairs = buckets.select(
         F.col("capped"),

@@ -54,12 +54,26 @@ def _driver_union_find(edges_pdf: pd.DataFrame, id_col: str, spark):
     return spark.createDataFrame(out)
 
 
+def _edge_bytes_estimate(dedup: DataFrame, n_edges: int, extra: int = 0) -> int:
+    """Estimated collected size of the edge frame: sampled avg id length
+    x edge count (+ per-row overhead). The driver fast paths must gate on
+    BYTES, not just edge count — 2M edges of ~60-char urls serialize past
+    1 GB (observed: driver.maxResultSize abort at 800k docs when the
+    round-3 star expansion shrank the edge set under the row cutover)."""
+    sample = dedup.limit(256).collect()
+    if not sample:
+        return 0
+    avg = sum(len(r["src"]) + len(r["dst"]) for r in sample) / len(sample)
+    return int((avg + 48 + extra) * n_edges)
+
+
 def connected_components(
     edges: DataFrame,
     id_col: str = "url",
     max_iter: int = 25,
     salt_buckets: int = 16,
     driver_cutover: int = 2_000_000,
+    driver_max_bytes: int = 768 * 1024 * 1024,
 ) -> DataFrame:
     """Label each vertex of the undirected edge set (src, dst) with the
     minimum vertex id reachable from it. Returns (id, cluster_id).
@@ -74,7 +88,9 @@ def connected_components(
     """
     dedup = edges.select("src", "dst").dropDuplicates(["src", "dst"])
     n_edges = dedup.count()
-    if n_edges <= driver_cutover:
+    if n_edges <= driver_cutover and _edge_bytes_estimate(
+        dedup, n_edges
+    ) <= driver_max_bytes:
         spark = edges.sparkSession
         return _driver_union_find(dedup.toPandas(), id_col, spark)
 
@@ -201,6 +217,7 @@ def sequential_cluster_ids(
 def name_pass_clusters(
     name_edges: DataFrame, named: DataFrame, cfg: DedupConfig = DEFAULT,
     driver_cutover: int = 2_000_000,
+    driver_max_bytes: int = 768 * 1024 * 1024,
 ) -> tuple[DataFrame, DataFrame]:
     """Reference 'similar pass' output: (clusters, surviving_edges).
 
@@ -215,7 +232,9 @@ def name_pass_clusters(
     full DataFrame path runs.
     """
     n_edges = name_edges.count()
-    if n_edges <= driver_cutover:
+    if n_edges <= driver_cutover and _edge_bytes_estimate(
+        name_edges.select("src", "dst"), n_edges, extra=8
+    ) <= driver_max_bytes:
         return _name_pass_driver(name_edges, named)
 
     labels = connected_components(name_edges, salt_buckets=cfg.salt_buckets)

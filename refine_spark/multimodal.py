@@ -12,6 +12,13 @@ Codec status (round 2 — no longer stubbed):
        full scanline unfiltering (none/sub/up/average/paeth) for 8-bit
        gray/RGB/RGBA non-interlaced images; encode writes filter-0 rows.
        Enables a real nearest-neighbor `resize` round-trip.
+  BMP  REAL decode (uncompressed 8-bit paletted / 24-bit / 32-bit,
+       bottom-up and top-down, 4-byte row padding, BGR(A)->RGB(A)) and
+       24-bit encode — round 3.
+  GIF  REAL decode (GIF87a/89a first frame: global/local color tables,
+       extension skipping, interlace, full variable-width LZW with the
+       deferred-clear quirk) and single-frame encode (exact for <=256
+       distinct colors) — round 3.
   other formats (jpeg/mp3/mp4...) need codec libraries this container
        does not ship: decode raises NotImplementedError unless
        `deterministic_fake=True` (seed-stable fake features so pipelines
@@ -148,6 +155,243 @@ def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------
+# BMP codec (pure stdlib + numpy; round 3)
+# --------------------------------------------------------------------------
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed (BI_RGB) 8/24/32-bit BMP to (H, W, C) uint8.
+
+    Handles the standard BITMAPINFOHEADER layout: 4-byte-aligned
+    bottom-up rows (or top-down when height < 0), BGR(A) channel order
+    converted to RGB(A), and the 8-bit paletted form via its BGRA color
+    table. Anything else (RLE, 16-bit, core headers) raises
+    NotImplementedError."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise NotImplementedError("not a BMP payload")
+    data_off = struct.unpack("<I", payload[10:14])[0]
+    hdr_size = struct.unpack("<I", payload[14:18])[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP not supported")
+    w, h_signed = struct.unpack("<ii", payload[18:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    compression = struct.unpack("<I", payload[30:34])[0]
+    if planes != 1 or compression != 0 or bpp not in (8, 24, 32):
+        raise NotImplementedError(
+            f"only uncompressed 8/24/32-bit BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    stride = (w * bpp // 8 + 3) & ~3  # rows pad to 4-byte boundaries
+    pix = payload[data_off : data_off + stride * h]
+    if len(pix) < stride * h:
+        raise NotImplementedError("truncated BMP pixel data")
+    rows = np.frombuffer(pix, dtype=np.uint8).reshape(h, stride)
+    if bpp == 8:
+        n_colors = struct.unpack("<I", payload[46:50])[0] or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(
+            payload[pal_off : pal_off + 4 * n_colors], dtype=np.uint8
+        ).reshape(-1, 4)[:, [2, 1, 0]]  # BGRA table -> RGB
+        out = pal[rows[:, :w]]
+    else:
+        c = bpp // 8
+        img = rows[:, : w * c].reshape(h, w, c)
+        out = img[:, :, [2, 1, 0]] if c == 3 else img[:, :, [2, 1, 0, 3]]
+    return out if top_down else out[::-1]
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode (H, W, 3) uint8 RGB as an uncompressed 24-bit bottom-up BMP."""
+    h, w, c = pixels.shape
+    if c != 3:
+        raise NotImplementedError("encode_bmp writes 24-bit RGB only")
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = pixels[::-1, :, [2, 1, 0]].reshape(h, w * 3)  # RGB->BGR
+    data = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return header + info + data
+
+
+# --------------------------------------------------------------------------
+# GIF codec (pure stdlib + numpy; round 3) — full LZW per GIF89a spec
+# --------------------------------------------------------------------------
+
+
+def _lzw_decode(data: bytes, mcs: int) -> list[int]:
+    """GIF-variant LZW: LSB-first variable-width codes, code width grows
+    when the next free slot reaches 2^width, table caps at 4096 until a
+    CLEAR code (deferred-clear quirk)."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    stream = int.from_bytes(data, "little")
+    total_bits = len(data) * 8
+    pos, size = 0, mcs + 1
+    table: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    out: list[int] = []
+    prev: list[int] | None = None
+    while pos + size <= total_bits:
+        code = (stream >> pos) & ((1 << size) - 1)
+        pos += size
+        if code == clear:
+            table = [[i] for i in range(clear)] + [[], []]
+            size, prev = mcs + 1, None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + [prev[0]]  # the KwKwK special case
+        else:
+            raise NotImplementedError("corrupt GIF LZW stream")
+        if prev is not None and len(table) < 4096:
+            table.append(prev + [entry[0]])
+            if len(table) == (1 << size) and size < 12:
+                size += 1
+        out.extend(entry)
+        prev = entry
+    return out
+
+
+def _lzw_encode(indices: list[int], mcs: int) -> bytes:
+    """Spec-correct GIF LZW encoder mirroring _lzw_decode's width growth."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    next_code, size = end + 1, mcs + 1
+    acc, nbits = 0, 0
+    chunks = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+
+    emit(clear)
+    buf: tuple[int, ...] = ()
+    for p in indices:
+        cand = buf + (p,)
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf])
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            # decoder grows its width one code LATER than the assignment,
+            # so the encoder switches as soon as next_code passes 2^size
+            if next_code == (1 << size) + 1 and size < 12:
+                size += 1
+        else:  # table full: clear and restart
+            emit(clear)
+            table = {(i,): i for i in range(clear)}
+            next_code, size = end + 1, mcs + 1
+        buf = (p,)
+    if buf:
+        emit(table[buf])
+    emit(end)
+    chunks[:] = acc.to_bytes((nbits + 7) // 8, "little")
+    return bytes(chunks)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Decode the FIRST frame of a GIF87a/89a to (H, W, 3) uint8 RGB.
+
+    Real decoder: logical screen descriptor, global/local color tables,
+    extension-block skipping, interlace reordering, full LZW."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
+        raise NotImplementedError("not a GIF payload")
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _x, _y, w, h, iflags = struct.unpack("<HHHHB", payload[pos + 1 : pos + 10])
+            pos += 10
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                ct = np.frombuffer(
+                    payload[pos : pos + 3 * n], dtype=np.uint8
+                ).reshape(-1, 3)
+                pos += 3 * n
+            if ct is None:
+                raise NotImplementedError("GIF frame without a color table")
+            mcs = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while payload[pos]:
+                ln = payload[pos]
+                lzw += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = np.array(_lzw_decode(bytes(lzw), mcs), dtype=np.int64)
+            if len(idx) < w * h:
+                raise NotImplementedError("truncated GIF LZW data")
+            idx = idx[: w * h].reshape(h, w)
+            if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+                order = np.concatenate(
+                    [np.arange(0, h, 8), np.arange(4, h, 8),
+                     np.arange(2, h, 4), np.arange(1, h, 2)]
+                )
+                deinter = np.empty_like(idx)
+                deinter[order] = idx
+                idx = deinter
+            return ct[np.clip(idx, 0, len(ct) - 1)]
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise NotImplementedError(f"unknown GIF block 0x{block:02x}")
+    raise NotImplementedError("GIF contains no image data")
+
+
+def encode_gif(pixels: np.ndarray) -> bytes:
+    """Encode (H, W, 3) uint8 RGB as a single-frame GIF89a.
+
+    Palette-quantizes to the image's distinct colors (<= 256 required —
+    callers with richer images should quantize first; this keeps the
+    encoder exact for round-trip testing)."""
+    h, w, c = pixels.shape
+    if c != 3:
+        raise NotImplementedError("encode_gif writes RGB only")
+    flat = pixels.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise NotImplementedError("encode_gif requires <= 256 distinct colors")
+    # color table size must be a power of two >= 2
+    bits = max(1, int(len(palette) - 1).bit_length())
+    table = np.zeros((2 << (bits - 1), 3), dtype=np.uint8)
+    table[: len(palette)] = palette
+    mcs = max(2, bits)  # spec: min LZW code size >= 2
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += table.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    out.append(mcs)
+    lzw = _lzw_encode(inverse.astype(int).tolist(), mcs)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
 # WAV codec (stdlib wave module)
 # --------------------------------------------------------------------------
 
@@ -218,6 +462,10 @@ def decode_features(payload: bytes, kind: str) -> list[float]:
     try:
         if kind == "image" and payload[:8] == _PNG_MAGIC:
             return _image_features(decode_png(payload))
+        if kind == "image" and payload[:2] == b"BM":
+            return _image_features(decode_bmp(payload))
+        if kind == "image" and payload[:6] in (b"GIF87a", b"GIF89a"):
+            return _image_features(decode_gif(payload))
         if (
             kind == "audio"
             and payload[:4] == b"RIFF"

@@ -200,6 +200,10 @@ def simhash_edges(docs_with_sig, cfg: DedupConfig = DEFAULT, expand: str = "pair
     groups = sigs.groupBy("simhash").agg(
         F.min("url").alias("rep"), F.count(F.lit(1)).alias("n_members")
     )
+    # groups feeds banding, the verify join, AND the expansion joins —
+    # materialize once (tiny: one row per distinct fingerprint) instead
+    # of re-aggregating the corpus in every subplan
+    groups = groups.localCheckpoint(eager=True)
     reps = groups.select(F.col("rep").alias("url"), "simhash")
 
     banded = simhash_band_keys(reps, cfg)

@@ -342,3 +342,111 @@ def test_simhash_nonascii_lockstep(spark):
         ).fetchall()
     )
     assert got == oracle
+
+
+def test_bmp_codec():
+    """Real BMP codec: 24-bit round-trip at padded and unpadded widths,
+    top-down negative-height decode, 32-bit BGRA, 8-bit paletted, and
+    routing through decode_features; malformed/RLE payloads raise
+    NotImplementedError."""
+    import struct
+
+    import numpy as np
+
+    from refine_spark.multimodal import decode_bmp, decode_features, encode_bmp
+
+    for h, w in ((7, 5), (4, 4), (3, 8), (1, 1)):
+        px = _make_png(h, w, 3, seed=h * 10 + w)
+        assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+
+    # top-down: flip rows, negate height in the encoded header
+    px = _make_png(5, 3, 3, seed=2)
+    buf = bytearray(encode_bmp(px[::-1]))
+    buf[22:26] = struct.pack("<i", -5)
+    assert np.array_equal(decode_bmp(bytes(buf)), px[::-1][::-1])
+
+    # 32-bit BGRA, top-down, no padding needed
+    rgba = _make_png(2, 2, 4, seed=4)
+    bgra = rgba[:, :, [2, 1, 0, 3]].tobytes()
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(bgra), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, -2, 1, 32, 0, len(bgra), 0, 0, 0, 0)
+    assert np.array_equal(decode_bmp(hdr + info + bgra), rgba)
+
+    # 8-bit paletted: 2 colors, width 3 (stride pads to 4)
+    pal = struct.pack("<4B4B", 10, 20, 30, 0, 200, 150, 100, 0)  # BGRA x2
+    rows = bytes([0, 1, 0, 0]) + bytes([1, 1, 1, 0])  # 2 rows, bottom-up
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + 8 + len(rows), 0, 0, 54 + 8)
+    info = struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 8, 0, len(rows), 0, 0, 2, 0)
+    img = decode_bmp(hdr + info + pal + rows)
+    assert img.shape == (2, 3, 3)
+    assert img[0].tolist() == [[100, 150, 200]] * 3  # top row = row 2
+    assert img[1].tolist() == [[30, 20, 10], [100, 150, 200], [30, 20, 10]]
+
+    feats = decode_features(encode_bmp(_make_png(6, 6, 3)), "image")
+    assert len(feats) == 16 and feats[0] == 6.0 and feats[1] == 6.0
+
+    import pytest as _pytest
+
+    rle = bytearray(encode_bmp(px))
+    rle[30:34] = struct.pack("<I", 1)  # BI_RLE8
+    for bad in (b"BMshort", bytes(rle), b"not a bmp"):
+        with _pytest.raises(NotImplementedError):
+            decode_bmp(bad)
+
+
+def test_gif_codec():
+    """Real GIF codec: LZW round-trips at sizes that cross code-width
+    growth boundaries and the 4096-entry table reset; interlace
+    deinterleave; extension skipping; malformed payloads raise
+    NotImplementedError."""
+    import struct
+
+    import numpy as np
+
+    from refine_spark.multimodal import (
+        _lzw_decode, _lzw_encode, decode_features, decode_gif, encode_gif,
+    )
+
+    rng = np.random.RandomState(5)
+    # raw LZW round-trip across width growth (mcs=2: codes grow 3->12 bits)
+    for n, alpha in ((10, 2), (500, 4), (20000, 4), (60000, 3)):
+        seq = rng.randint(0, alpha, size=n).tolist()
+        assert _lzw_decode(_lzw_encode(seq, max(2, alpha.bit_length())),
+                           max(2, alpha.bit_length())) == seq
+
+    # full-image round-trips: few colors, many colors, non-square
+    for h, w, colors in ((8, 8, 4), (5, 13, 200), (1, 300, 256), (31, 2, 7)):
+        pal = rng.randint(0, 256, size=(colors, 3)).astype("uint8")
+        px = pal[rng.randint(0, colors, size=(h, w))]
+        assert np.array_equal(decode_gif(encode_gif(px)), px)
+
+    # extension blocks (e.g. GCE) must be skipped
+    px = pal[rng.randint(0, colors, size=(4, 4))]
+    enc = bytearray(encode_gif(px))
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    body_at = 13 + (len(enc) - 13 - 2) - 0  # insert right before descriptor
+    at = enc.index(0x2C, 13)
+    with_ext = bytes(enc[:at]) + gce + bytes(enc[at:])
+    assert np.array_equal(decode_gif(with_ext), px)
+
+    # interlaced flag: encode rows in interlace order, set the flag
+    h, w = 9, 4
+    px = pal[rng.randint(0, colors, size=(h, w))]
+    order = np.concatenate(
+        [np.arange(0, h, 8), np.arange(4, h, 8), np.arange(2, h, 4),
+         np.arange(1, h, 2)]
+    )
+    enc2 = bytearray(encode_gif(px[order]))
+    d_at = enc2.index(0x2C, 13)
+    enc2[d_at + 9] |= 0x40  # image-descriptor interlace flag
+    assert np.array_equal(decode_gif(bytes(enc2)), px)
+
+    feats = decode_features(encode_gif(px), "image")
+    assert len(feats) == 16 and feats[0] == float(h)
+
+    import pytest as _pytest
+
+    for bad in (b"GIF89a", b"GIF89a" + struct.pack("<HHBBB", 2, 2, 0, 0, 0),
+                b"JIF89a whatever"):
+        with _pytest.raises(NotImplementedError):
+            decode_gif(bad)
