@@ -44,38 +44,38 @@ def normalize_for_shingles(text: str) -> list[str]:
     return _TOKEN_RE.findall(_translit_str(text).lower())
 
 
-_MEMO_CAP = 1 << 20  # bound executor-resident hash memos
+def _shingle_hashes60(tokens: list[str], k: int) -> np.ndarray:
+    """md5-low-60 hash per word k-shingle (whole token list if < k) —
+    ONE hashlib call per shingle, shared by MinHash and SimHash.
 
-
-def _memo_hash(cache: dict, s: str, fn) -> int:
-    h = cache.get(s)
-    if h is None:
-        if len(cache) >= _MEMO_CAP:
-            cache.clear()
-        h = fn(s)
-        cache[s] = h
-    return h
-
-
-def _blake64(s: str) -> int:
-    return int.from_bytes(
-        hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big"
-    )
-
-
-def _shingle_hashes(tokens: list[str], k: int, cache: dict | None = None) -> np.ndarray:
-    """Stable 64-bit hashes of word k-shingles (whole token list if < k).
-    `cache` memoizes across documents — near-dup corpora repeat most
-    shingles, so the hot loop's hashlib calls mostly become dict hits."""
+    Round-3 note: the kernels used to blake2b-hash every shingle for
+    MinHash and separately np.unique the shingle STRINGS (an object-array
+    sort with per-element Python comparisons) for SimHash. The
+    object-unique plus a cross-document memo dict dominated the stage
+    and, being allocation-heavy, scaled badly past ~8 concurrent Python
+    workers (profiled: 141 s -> 108 s going 4 -> 16 cores at 800k docs).
+    Hashing first and uniquing the uint64 array is C-speed and
+    semantically identical: SimHash's bit contribution depends only on
+    (hash, summed count), and MinHash's min is unaffected by duplicate
+    removal."""
     shingles = _shingle_strings(tokens, k)
     out = np.empty(len(shingles), dtype=np.uint64)
-    if cache is None:
-        for i, s in enumerate(shingles):
-            out[i] = _blake64(s)
-    else:
-        for i, s in enumerate(shingles):
-            out[i] = _memo_hash(cache, s, _blake64)
+    for i, s in enumerate(shingles):
+        out[i] = token_hash60(s)
     return out
+
+
+def _minhash_from_uniq(uniq: np.ndarray, a: np.ndarray, b: np.ndarray) -> list[int]:
+    vals = (a[:, None] * (uniq[None, :] % _MERSENNE) + b[:, None]) % _MERSENNE
+    return vals.min(axis=1).astype(np.int64).tolist()
+
+
+def _simhash_from_uniq(uniq: np.ndarray, counts: np.ndarray, bits: int) -> int:
+    bit_matrix = (uniq[:, None] >> np.arange(bits, dtype=np.uint64)[None, :]) & 1
+    acc = (
+        (bit_matrix.astype(np.int32) * 2 - 1) * counts.astype(np.int32)[:, None]
+    ).sum(axis=0, dtype=np.int64)
+    return int(((acc > 0).astype(np.uint64) << np.arange(bits, dtype=np.uint64)).sum())
 
 
 def make_minhash_udf(cfg: DedupConfig = DEFAULT):
@@ -86,11 +86,8 @@ def make_minhash_udf(cfg: DedupConfig = DEFAULT):
     def minhash_udf(texts: pd.Series) -> pd.Series:
         results = []
         for text in texts:
-            sh = _shingle_hashes(normalize_for_shingles(text), k)
-            # (num_perm x n_shingles) universal hash, min over shingles
-            vals = (a[:, None] * (sh[None, :] % _MERSENNE) + b[:, None]) % _MERSENNE
-            sig = vals.min(axis=1).astype(np.int64)
-            results.append(sig.tolist())
+            uniq = np.unique(_shingle_hashes60(normalize_for_shingles(text), k))
+            results.append(_minhash_from_uniq(uniq, a, b))
         return pd.Series(results)
 
     return minhash_udf
@@ -127,18 +124,11 @@ def make_simhash_udf(cfg: DedupConfig = DEFAULT):
     def simhash_udf(texts: pd.Series) -> pd.Series:
         out = np.zeros(len(texts), dtype=np.int64)
         for idx, text in enumerate(texts):
-            feats = _shingle_strings(normalize_for_shingles(text), k)
-            uniq, counts = np.unique(np.array(feats, dtype=object), return_counts=True)
-            hs = np.array([token_hash60(tok) for tok in uniq], dtype=np.uint64)
-            # unpack bits: (n_tokens x bits) of {0,1}
-            bit_matrix = (hs[:, None] >> np.arange(bits, dtype=np.uint64)[None, :]) & 1
-            weights = counts.astype(np.int64)
-            acc = ((bit_matrix.astype(np.int64) * 2 - 1) * weights[:, None]).sum(axis=0)
-            sim = 0
-            for bpos in range(bits):
-                if acc[bpos] > 0:
-                    sim |= 1 << bpos
-            out[idx] = sim
+            uniq, counts = np.unique(
+                _shingle_hashes60(normalize_for_shingles(text), k),
+                return_counts=True,
+            )
+            out[idx] = _simhash_from_uniq(uniq, counts, bits)
         return pd.Series(out)
 
     return simhash_udf
@@ -297,45 +287,19 @@ def make_signatures_udf(cfg: DedupConfig = DEFAULT):
     a, b = _perm_params(cfg)
     k = cfg.shingle_k
     bits = cfg.simhash_bits
-    # closure-level: unpickled once per Python worker process, so the
-    # memo spans every Arrow batch that worker executes (bounded by
-    # _MEMO_CAP); near-dup corpora repeat most shingles across documents
-    memo_b: dict[str, int] = {}
-    memo_m: dict[str, int] = {}
 
     @F.pandas_udf("minhash array<long>, simhash long")
     def signatures_udf(texts: pd.Series) -> pd.DataFrame:
         mins, sims = [], []
         for text in texts:
-            shingles = _shingle_strings(normalize_for_shingles(text), k)
-            # --- minhash over blake2b shingle hashes ---
-            sh64 = np.empty(len(shingles), dtype=np.uint64)
-            for i, s in enumerate(shingles):
-                sh64[i] = _memo_hash(memo_b, s, _blake64)
-            vals = (
-                a[:, None] * (sh64[None, :] % _MERSENNE) + b[:, None]
-            ) % _MERSENNE
-            mins.append(vals.min(axis=1).astype(np.int64).tolist())
-            # --- simhash over md5-low-60 shingle hashes (weighted) ---
+            # ONE md5 per shingle feeds both signatures; all remaining
+            # per-doc work is C-level numpy over the uint64 hash array
             uniq, counts = np.unique(
-                np.array(shingles, dtype=object), return_counts=True
+                _shingle_hashes60(normalize_for_shingles(text), k),
+                return_counts=True,
             )
-            hs = np.array(
-                [_memo_hash(memo_m, s, token_hash60) for s in uniq],
-                dtype=np.uint64,
-            )
-            bit_matrix = (
-                hs[:, None] >> np.arange(bits, dtype=np.uint64)[None, :]
-            ) & 1
-            acc = (
-                (bit_matrix.astype(np.int64) * 2 - 1)
-                * counts.astype(np.int64)[:, None]
-            ).sum(axis=0)
-            sim = 0
-            for bpos in range(bits):
-                if acc[bpos] > 0:
-                    sim |= 1 << bpos
-            sims.append(sim)
+            mins.append(_minhash_from_uniq(uniq, a, b))
+            sims.append(_simhash_from_uniq(uniq, counts, bits))
         return pd.DataFrame({"minhash": mins, "simhash": sims})
 
     return signatures_udf

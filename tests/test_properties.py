@@ -13,7 +13,7 @@ from hypothesis import given, settings, strategies as st
 
 from refine_spark.config import DEFAULT
 from refine_spark.scoring import _rare_token_sim, _sorensen_dice
-from refine_spark.signatures import _perm_params, _shingle_hashes, normalize_for_shingles
+from refine_spark.signatures import _perm_params, _shingle_hashes60, normalize_for_shingles
 
 
 # --- python model of the reference natural_cmp (natural.rs:6-105) ----------
@@ -82,7 +82,7 @@ def test_minhash_jaccard_estimate_within_bounds(words, n_edits):
     m = (1 << 61) - 1
 
     def sig(tokens):
-        sh = _shingle_hashes(tokens, k)
+        sh = _shingle_hashes60(tokens, k)
         vals = (pa[:, None] * (sh[None, :] % m) + pb[:, None]) % m
         return vals.min(axis=1)
 
