@@ -33,33 +33,43 @@ def _pairs_from_buckets(
     SMALLEST ids) and flagged via the `capped` column so callers can log
     dropped volume.
 
-    The cap is enforced BEFORE any aggregation buffer exists: a window
-    row_number keeps only the cap smallest ids per bucket, so a hot
-    bucket never materializes more than `cap` ids in executor memory.
-    (The previous collect_set-then-slice built the FULL set per bucket
-    inside the aggregation buffer first — observed JVM heap exhaustion
-    at 800k docs, where 60-bit fingerprints band into a 2^15-value key
-    space and skewed buckets reach 10^5 members. WindowExec spills big
-    partitions to disk; hash-agg buffers don't.) The window sort and the
-    following groupBy share the same hash partitioning, so this is still
-    ONE shuffle."""
+    The cap is enforced BEFORE any unbounded aggregation buffer exists
+    (the collect_set-then-slice of rounds 1-2 built the FULL set per
+    bucket inside the aggregation buffer first — observed JVM heap
+    exhaustion at 800k docs, where 60-bit fingerprints band into a
+    2^15-value key space and skewed buckets reach 10^5 members).
+
+    Hot/cold split: bucket sizes are counted first (tiny count-agg
+    buffers), over-cap keys — rare by construction — are broadcast;
+    cold rows keep the fast hash-agg collect path with buffers bounded
+    at `cap` elements by the size precondition, while only hot-bucket
+    rows pay a window sort (WindowExec spills; hash-agg buffers don't).
+    The common path therefore costs one count-agg + one collect-agg
+    with no global sort."""
     from pyspark.sql import Window as W
 
     uniq = keyed.select(*key_cols, id_col).dropDuplicates([*key_cols, id_col])
-    w = W.partitionBy(*key_cols)
-    ranked = uniq.withColumn(
-        "_rn", F.row_number().over(w.orderBy(id_col))
-    ).withColumn("_n", F.count(F.lit(1)).over(w))
-    buckets = (
-        ranked.filter(F.col("_rn") <= cap)
-        .groupBy(*key_cols)
-        .agg(
-            F.sort_array(F.collect_list(F.col(id_col))).alias("ids"),
-            F.max("_n").alias("_total"),
-        )
+    sizes = uniq.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_total"))
+    hot_keys = sizes.filter(F.col("_total") > cap)
+
+    cold = uniq.join(F.broadcast(hot_keys.select(*key_cols)), key_cols, "left_anti")
+    cold_buckets = (
+        cold.groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
         .filter(F.size("ids") > 1)
-        .withColumn("capped", F.col("_total") > cap)
+        .withColumn("capped", F.lit(False))
     )
+
+    hot = uniq.join(F.broadcast(hot_keys.select(*key_cols)), key_cols, "left_semi")
+    w = W.partitionBy(*key_cols).orderBy(id_col)
+    hot_buckets = (
+        hot.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)  # the cap SMALLEST ids, pre-aggregation
+        .groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .withColumn("capped", F.lit(True))
+    )
+    buckets = cold_buckets.unionByName(hot_buckets)
     # all i<j combinations, generated JVM-side with higher-order functions
     pairs = buckets.select(
         F.col("capped"),

@@ -29,18 +29,44 @@ from .config import DedupConfig, DEFAULT
 from .candidates import _pairs_from_buckets
 
 _B = np.uint64(1000003)  # polynomial rolling-hash base (wraparound mod 2^64)
+_B_INV = np.uint64(pow(int(_B), -1, 1 << 64))  # B is odd -> invertible mod 2^64
 
 
 def _rolling_hashes(text: str, n: int) -> np.ndarray:
-    """uint64-wraparound polynomial hashes of every char n-gram."""
+    """uint64-wraparound polynomial hashes of every char n-gram.
+
+    O(len) via the modular-inverse prefix trick (round 3; the previous
+    sliding_window_view matmul did O(len x n) multiply-adds — 64x the
+    memory traffic at the production n=64, and the dominant bandwidth
+    load of the substring stage at wide parallelism):
+
+        h[i] = sum_j data[i+j] * B^(n-1-j)            (mod 2^64)
+             = B^(n-1+i) * (P[i+n] - P[i]),  P = prefix-sum of data[j]*B^-j
+
+    All cumprod/cumsum/diff arithmetic wraps mod 2^64 in uint64, so the
+    values are bit-identical to the direct polynomial (pinned by
+    test_rolling_hash_vectorization_exact)."""
     data = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
-    if len(data) < n:
+    length = len(data)
+    if length < n:
         return np.array([], dtype=np.uint64)
-    weights = np.array(
-        [pow(int(_B), n - 1 - i, 1 << 64) for i in range(n)], dtype=np.uint64
-    )
-    windows = np.lib.stride_tricks.sliding_window_view(data, n).astype(np.uint64)
-    return (windows * weights[None, :]).sum(axis=1, dtype=np.uint64)
+    m = length - n + 1
+    binv_pows = np.empty(length, dtype=np.uint64)
+    binv_pows[0] = 1
+    if length > 1:
+        binv_pows[1:] = _B_INV
+        np.cumprod(binv_pows, out=binv_pows)
+    t = data.astype(np.uint64) * binv_pows
+    prefix = np.empty(length + 1, dtype=np.uint64)
+    prefix[0] = 0
+    np.cumsum(t, out=prefix[1:])
+    diff = prefix[n:] - prefix[:-n]
+    bpow = np.empty(m, dtype=np.uint64)
+    bpow[0] = pow(int(_B), n - 1, 1 << 64)
+    if m > 1:
+        bpow[1:] = _B
+        np.cumprod(bpow, out=bpow)
+    return diff * bpow
 
 
 def _fingerprints(text: str, n: int, w: int) -> np.ndarray:

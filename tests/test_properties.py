@@ -221,3 +221,27 @@ def test_sessionize_model(events):
             run += new
             got[(uid, ts)] = run
     assert got == expect
+
+
+@given(
+    st.text(min_size=0, max_size=200),
+    st.sampled_from([2, 16, 24, 33, 64]),
+)
+@settings(max_examples=60, deadline=None)
+def test_rolling_hash_vectorization_exact(text, n):
+    """The O(len) modular-inverse rolling hash must be bit-identical to
+    the direct O(len*n) polynomial (mod 2^64)."""
+    import numpy as np
+
+    from refine_spark.substring import _B, _rolling_hashes
+
+    got = _rolling_hashes(text, n)
+    data = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
+    if len(data) < n:
+        assert len(got) == 0
+        return
+    w = np.array([pow(int(_B), n - 1 - i, 1 << 64) for i in range(n)],
+                 dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(data, n).astype(np.uint64)
+    exp = (win * w[None, :]).sum(axis=1, dtype=np.uint64)
+    assert np.array_equal(got, exp)
