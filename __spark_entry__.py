@@ -631,24 +631,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def root_validation(spark, sf):
         # S4/O5 input-root validation (input.rs:63-99): sort + exact-
-        # duplicate drop with a dropped-count receipt. Driver-side BY
-        # DESIGN — root validation happens before any job exists (the
-        # list is ~CLI-argument sized); the paths derive from the
-        # documents table with planted duplicates (doc_id % 3 per
-        # source), so the dedupe arithmetic is data-dependent.
-        from refine_spark.universe import validate_roots
-
+        # duplicate drop with a dropped-count receipt, computed IN SPARK
+        # (distinct + count aggregates) — the root list is tiny by
+        # construction (sources x 3), but the candidate rows derive from
+        # the whole documents table, so collecting them first would be an
+        # unbounded O(corpus) driver transfer. validate_roots() remains
+        # the CLI-argument-sized driver path (pytest-covered).
         docs = _read(spark, sf, "documents")
-        rows = docs.select(
+        p = docs.select(
             F.concat(
                 F.lit("/crawl/"), "source", F.lit("/d"),
                 (F.col("doc_id") % 3).cast("string"),
-            ).alias("p")
-        ).collect()
-        roots, dropped = validate_roots([r["p"] for r in rows])
-        return spark.createDataFrame(
-            [(r, i + 1, dropped) for i, r in enumerate(roots)],
-            "root string, rank long, n_dropped long",
+            ).alias("root")
+        )
+        dropped = p.agg(
+            (F.count(F.lit(1)) - F.count_distinct("root")).alias("n_dropped")
+        )
+        # the distinct-root frame is rank-windowed over its (tiny) whole
+        # extent — the same sorted order validate_roots produces
+        return (
+            p.distinct()
+            .withColumn(
+                "rank", F.row_number().over(W.orderBy("root")).cast("long")
+            )
+            .crossJoin(F.broadcast(dropped))
+            .select("root", "rank", "n_dropped")
         )
 
     q["root_validation"] = root_validation

@@ -63,7 +63,13 @@ def _edge_bytes_estimate(dedup: DataFrame, n_edges: int, extra: int = 0) -> int:
     sample = dedup.limit(256).collect()
     if not sample:
         return 0
-    avg = sum(len(r["src"]) + len(r["dst"]) for r in sample) / len(sample)
+
+    def cell(v) -> int:
+        # numeric ids (the int64 doc-id hot path) cost a fixed 8 bytes;
+        # anything exotic falls back to its string rendering
+        return len(v) if isinstance(v, (str, bytes, bytearray)) else 8
+
+    avg = sum(cell(r["src"]) + cell(r["dst"]) for r in sample) / len(sample)
     return int((avg + 48 + extra) * n_edges)
 
 

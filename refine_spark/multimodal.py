@@ -226,15 +226,24 @@ def _lzw_decode(data: bytes, mcs: int) -> list[int]:
     when the next free slot reaches 2^width, table caps at 4096 until a
     CLEAR code (deferred-clear quirk)."""
     clear, end = 1 << mcs, (1 << mcs) + 1
-    stream = int.from_bytes(data, "little")
-    total_bits = len(data) * 8
-    pos, size = 0, mcs + 1
+    size = mcs + 1
     table: list[list[int]] = [[i] for i in range(clear)] + [[], []]
     out: list[int] = []
     prev: list[int] | None = None
-    while pos + size <= total_bits:
-        code = (stream >> pos) & ((1 << size) - 1)
-        pos += size
+    # sliding bit-buffer (<= 19 bits live at any time): O(bytes) total,
+    # unlike shifting one whole-stream bigint per code (O(bytes^2) — fine
+    # for test GIFs, pathological on multi-megabyte frames)
+    acc, nbits, byte_pos, n_bytes = 0, 0, 0, len(data)
+    while True:
+        while nbits < size and byte_pos < n_bytes:
+            acc |= data[byte_pos] << nbits
+            byte_pos += 1
+            nbits += 8
+        if nbits < size:
+            break
+        code = acc & ((1 << size) - 1)
+        acc >>= size
+        nbits -= size
         if code == clear:
             table = [[i] for i in range(clear)] + [[], []]
             size, prev = mcs + 1, None

@@ -97,6 +97,36 @@ def _bucketed(df: DataFrame, key_cols: list[str]) -> DataFrame:
     )
 
 
+def recover_compaction(path: str) -> list[int]:
+    """Repair a compaction interrupted mid-swap (crash between the two
+    os.rename calls): a leftover `_compact_prev_{id}` whose `bucket=` dir
+    is missing holds the ONLY copy of that bucket's rows — partition
+    discovery ignores `_`-prefixed paths, so without this repair the
+    bucket silently vanishes from reads. Restores such backups, deletes
+    backups whose bucket dir exists (crash after the swap, before
+    cleanup), and drops incomplete `_compact_staging_` writes. Returns
+    the restored bucket ids. Idempotent; called on every compact_index
+    entry and safe to call at stream start."""
+    import shutil
+
+    restored: list[int] = []
+    if not os.path.exists(path):
+        return restored
+    for entry in sorted(os.listdir(path)):
+        full = os.path.join(path, entry)
+        if entry.startswith("_compact_prev_"):
+            bucket_id = entry[len("_compact_prev_"):]
+            bdir = os.path.join(path, f"bucket={bucket_id}")
+            if os.path.exists(bdir):
+                shutil.rmtree(full)  # swap completed; backup is stale
+            else:
+                os.rename(full, bdir)  # swap died mid-way; restore live dir
+                restored.append(int(bucket_id))
+        elif entry.startswith("_compact_staging_"):
+            shutil.rmtree(full)  # incomplete staging write; source intact
+    return restored
+
+
 def compact_index(
     spark: SparkSession, path: str, max_files_per_bucket: int = 4
 ) -> list[int]:
@@ -111,6 +141,7 @@ def compact_index(
     compacted: list[int] = []
     if not os.path.exists(path):
         return compacted
+    recover_compaction(path)
     for entry in sorted(os.listdir(path)):
         if not entry.startswith("bucket="):
             continue
@@ -167,6 +198,8 @@ def run_incremental_dedup(
     exact_path = os.path.join(state_dir, "exact")
     lsh_path = os.path.join(state_dir, "lsh")
     out_path = os.path.join(state_dir, "assignments")
+    for p in (exact_path, lsh_path):  # heal any compaction killed mid-swap
+        recover_compaction(p)
 
     def _load(path: str, ddl: str) -> DataFrame:
         if os.path.exists(path):

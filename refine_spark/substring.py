@@ -108,7 +108,11 @@ def substring_cap_stats(docs: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFram
 def substring_edges(docs: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
     """Edges (src, dst, sim, 'substring') for pairs sharing a substring of
     length >= cfg.min_substring; sim = lcs_len / min(text lengths)."""
-    fps = winnow_fingerprints(docs, cfg)
+    # materialize the winnowing output once: _pairs_from_buckets reads its
+    # input from three subplans (size count, cold anti-join, hot semi-join)
+    # and exchange reuse is not guaranteed under AQE — without this the
+    # CPU-heavy mapInPandas winnowing stage can run per subplan
+    fps = winnow_fingerprints(docs, cfg).localCheckpoint(eager=True)
     pairs = (
         _pairs_from_buckets(fps, "url", ["fp"], cfg.band_cap)
         .select("src", "dst")

@@ -234,3 +234,61 @@ def test_partition_scoped_compaction(spark, tmp_path):
         r["sample_key"] for r in spark.read.parquet(path).collect()
     } == keys_before
     assert not any(e.startswith("_compact") for e in os.listdir(path))
+
+
+def test_compaction_crash_recovery(spark, tmp_path):
+    """A compaction killed between its two swap renames leaves the live
+    `bucket=` dir missing and the rows stranded in `_compact_prev_{id}`
+    (which partition discovery ignores — silent loss). recover_compaction
+    (run on entry to compact_index and at stream start) restores the
+    backup, clears stale backups/stagings, and is idempotent."""
+    import shutil
+
+    import pandas as pd
+
+    from refine_spark.streaming import (
+        _bucketed, compact_index, recover_compaction,
+    )
+
+    path = str(tmp_path / "idx")
+    pdf = pd.DataFrame(
+        {"sample_key": [f"k{j}" for j in range(64)], "rep": "r"}
+    )
+    _bucketed(spark.createDataFrame(pdf), ["sample_key"]).write.mode(
+        "append"
+    ).partitionBy("bucket").parquet(path)
+    rows_before = spark.read.parquet(path).count()
+    buckets = [e for e in os.listdir(path) if e.startswith("bucket=")]
+    victim = buckets[0]
+    bucket_id = victim.split("=", 1)[1]
+
+    # simulate the crash window: live dir renamed away, staging present
+    os.rename(
+        os.path.join(path, victim),
+        os.path.join(path, f"_compact_prev_{bucket_id}"),
+    )
+    os.makedirs(os.path.join(path, f"_compact_staging_{bucket_id}"))
+    # the bucket's rows are invisible until recovery
+    assert spark.read.parquet(path).count() < rows_before
+
+    restored = recover_compaction(path)
+    assert restored == [int(bucket_id)]
+    assert spark.read.parquet(path).count() == rows_before
+    assert not any(e.startswith("_compact") for e in os.listdir(path))
+    assert recover_compaction(path) == []  # idempotent
+
+    # stale backup (crash AFTER the swap, before cleanup): bucket dir
+    # exists -> the backup is simply dropped, no data change
+    stale = os.path.join(path, f"_compact_prev_{bucket_id}")
+    shutil.copytree(os.path.join(path, victim), stale)
+    assert recover_compaction(path) == []
+    assert not os.path.exists(stale)
+    assert spark.read.parquet(path).count() == rows_before
+
+    # compact_index itself heals before compacting
+    os.rename(
+        os.path.join(path, victim),
+        os.path.join(path, f"_compact_prev_{bucket_id}"),
+    )
+    compact_index(spark, path, max_files_per_bucket=4)
+    assert spark.read.parquet(path).count() == rows_before
