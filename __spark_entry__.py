@@ -844,6 +844,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["probe_dedup_names"] = probe_dedup_names
 
+    def probe_backoff(spark, sf):
+        # S8 probe retry/backoff state machine (probe.rs:161-206) as pure
+        # data: a deterministic injected client maps name class k%5 to a
+        # fixed status script (200 / 403 / 404 / 503-then-200 / always-
+        # raise), and the traced loop emits (verdict, n_attempts,
+        # waited_ms) per name — 200,403->valid, 404->invalid, retries
+        # wait min(wait*2, max) starting at 1000ms, fail after
+        # retries=2. The oracle replays every transition arithmetically.
+        from refine_spark.probe import probe_names
+
+        docs = _read(spark, sf, "documents")
+        names = (
+            docs.select((F.col("doc_id") % 50).alias("k"))
+            .distinct()
+            .select(F.concat(F.lit("n"), F.col("k").cast("string")).alias("name"))
+        )
+
+        calls: dict[str, int] = {}  # per-worker: each name probed once
+
+        def prober(name: str) -> int:
+            a = calls.get(name, 0) + 1
+            calls[name] = a
+            m = int(name[1:]) % 5
+            if m == 0:
+                return 200
+            if m == 1:
+                return 403
+            if m == 2:
+                return 404
+            if m == 3:
+                return 503 if a == 1 else 200  # transient outage
+            raise TimeoutError("transport error")  # m == 4: hard-down host
+
+        return probe_names(
+            names, prober, max_retries=2, sleeper=lambda s: None, trace=True
+        )
+
+    q["probe_backoff"] = probe_backoff
+
     # ---- scan / filter / grammar ----------------------------------------
 
     def fetch_filter(spark, sf):
@@ -1835,6 +1874,23 @@ def oracle_sql() -> dict[str, str]:
                            || CAST(p_partkey % 40 AS VARCHAR) AS slug
                 FROM part
             )
+        """,
+        "probe_backoff": """
+            -- replay of probe.rs:161-206 under the deterministic client:
+            -- k%5: 0->200, 1->403 (valid, 1 attempt, no wait);
+            --      2->404 (invalid); 3->503 then 200 (valid on attempt 2
+            --      after the initial 1000ms wait); 4->always raises
+            --      (failed after retries=2: 3 attempts, 1000+2000ms)
+            WITH ks AS (SELECT DISTINCT doc_id % 50 AS k FROM documents)
+            SELECT 'n' || CAST(k AS VARCHAR) AS name,
+                   CASE k % 5 WHEN 2 THEN 'invalid'
+                              WHEN 4 THEN 'failed'
+                              ELSE 'valid' END AS verdict,
+                   CAST(CASE k % 5 WHEN 3 THEN 2 WHEN 4 THEN 3
+                                   ELSE 1 END AS BIGINT) AS n_attempts,
+                   CAST(CASE k % 5 WHEN 3 THEN 1000 WHEN 4 THEN 3000
+                                   ELSE 0 END AS BIGINT) AS waited_ms
+            FROM ks
         """,
         "fetch_filter": """
             SELECT doc_id FROM documents

@@ -124,33 +124,45 @@ def bucket_cap_stats(
     )
 
 
-def lsh_band_keys(df: DataFrame, cfg: DedupConfig = DEFAULT, sig_col: str = "minhash") -> DataFrame:
-    """Explode the MinHash signature into (band, band_key) rows, JVM-side."""
+def lsh_band_keys(
+    df: DataFrame,
+    cfg: DedupConfig = DEFAULT,
+    sig_col: str = "minhash",
+    id_col: str = "url",
+) -> DataFrame:
+    """Explode the MinHash signature into (band, band_key) rows, JVM-side.
+
+    `id_col` is the row identity carried through banding — the pipeline
+    passes the int64 `doc_id` so the band shuffle moves 8-byte ids
+    instead of full url strings (the measured bandwidth ceiling on
+    shuffle-bound stages is partly payload-width; see pipeline.prepare)."""
     r = cfg.lsh_rows
     banded = df.select(
-        "url",
+        id_col,
         sig_col,
         F.explode(F.sequence(F.lit(0), F.lit(cfg.lsh_bands - 1))).alias("band"),
     ).withColumn(
         "band_key",
         F.xxhash64(F.col("band"), F.slice(F.col(sig_col), F.col("band") * r + 1, r)),
     )
-    return banded.select("url", "band", "band_key")
+    return banded.select(id_col, "band", "band_key")
 
 
 def lsh_candidates(
-    docs_with_sig: DataFrame, cfg: DedupConfig = DEFAULT
+    docs_with_sig: DataFrame, cfg: DedupConfig = DEFAULT, id_col: str = "url"
 ) -> DataFrame:
-    """Unique candidate url pairs from LSH band collisions."""
-    banded = lsh_band_keys(docs_with_sig.select("url", "minhash"), cfg)
-    pairs = _pairs_from_buckets(banded, "url", ["band", "band_key"], cfg.band_cap)
+    """Unique candidate id pairs from LSH band collisions."""
+    banded = lsh_band_keys(docs_with_sig.select(id_col, "minhash"), cfg, id_col=id_col)
+    pairs = _pairs_from_buckets(banded, id_col, ["band", "band_key"], cfg.band_cap)
     return pairs.select("src", "dst").dropDuplicates(["src", "dst"])
 
 
-def lsh_cap_stats(docs_with_sig: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
+def lsh_cap_stats(
+    docs_with_sig: DataFrame, cfg: DedupConfig = DEFAULT, id_col: str = "url"
+) -> DataFrame:
     """Cap accounting for the MinHash-LSH band join (one-row DF)."""
-    banded = lsh_band_keys(docs_with_sig.select("url", "minhash"), cfg)
-    return bucket_cap_stats(banded, "url", ["band", "band_key"], cfg.band_cap)
+    banded = lsh_band_keys(docs_with_sig.select(id_col, "minhash"), cfg, id_col=id_col)
+    return bucket_cap_stats(banded, id_col, ["band", "band_key"], cfg.band_cap)
 
 
 def prefix_block_candidates(

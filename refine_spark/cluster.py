@@ -112,12 +112,16 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    # the null-own sentinel must carry the LABEL type: casting it to
+    # string would coerce the whole union to strings, silently switching
+    # min() to lexicographic order for int64 doc-id labels
+    label_type = dict(dedup.dtypes)["src"]
     for _ in range(max_iter):
         # propagate: each vertex learns its neighbors' labels; the vertex's
         # own row is marked so the aggregation yields (new_label, old_label)
         # in ONE pass — no separate convergence join
         msgs = sym.join(labels, sym.b == labels.id).select(
-            F.col("a").alias("id"), F.col("label"), F.lit(None).cast("string").alias("own")
+            F.col("a").alias("id"), F.col("label"), F.lit(None).cast(label_type).alias("own")
         )
         own = labels.select("id", "label", F.col("label").alias("own"))
         candidates = msgs.union(own)
@@ -137,13 +141,15 @@ def connected_components(
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
 
 
-def cluster_stats(edges: DataFrame, labels: DataFrame) -> DataFrame:
+def cluster_stats(
+    edges: DataFrame, labels: DataFrame, id_col: str = "url"
+) -> DataFrame:
     """(cluster_id, avg_sim, n_edges, cluster_size) from accepted edges.
 
     avg_sim = sum(sim)/count over every accepted edge in the cluster,
     matching the reference's union-time (sum, count) accounting.
     """
-    lab = labels.select(F.col("url").alias("src"), "cluster_id")
+    lab = labels.select(F.col(id_col).alias("src"), "cluster_id")
     edge_stats = (
         edges.join(lab, "src")
         .groupBy("cluster_id")
@@ -201,21 +207,23 @@ def is_likely_sequential(cleaned_names: list[str]) -> bool:
 
 
 def sequential_cluster_ids(
-    labels: DataFrame, named: DataFrame
+    labels: DataFrame, named: DataFrame, id_col: str = "url"
 ) -> DataFrame:
     """cluster_ids (>1 member) flagged sequential by the detector.
 
     Grouped-map pandas UDF for bit-exact fidelity (SURVEY.md §7.3):
     clusters are small, so per-group pandas is safe.
     """
-    names = labels.join(named.select("url", "cleaned_name"), "url")
+    names = labels.join(named.select(id_col, "cleaned_name"), id_col)
+    # cluster_id inherits the vertex-id type (string urls or int64 doc_ids)
+    cid_type = dict(labels.dtypes)["cluster_id"]
 
     def detect(key, pdf: pd.DataFrame) -> pd.DataFrame:
         seq = is_likely_sequential(pdf["cleaned_name"].tolist())
         return pd.DataFrame({"cluster_id": [key[0]], "sequential": [seq]})
 
     flags = names.groupBy("cluster_id").applyInPandas(
-        detect, "cluster_id string, sequential boolean"
+        detect, f"cluster_id {cid_type}, sequential boolean"
     )
     return flags.filter(F.col("sequential")).select("cluster_id")
 
@@ -224,6 +232,7 @@ def name_pass_clusters(
     name_edges: DataFrame, named: DataFrame, cfg: DedupConfig = DEFAULT,
     driver_cutover: int = 2_000_000,
     driver_max_bytes: int = 768 * 1024 * 1024,
+    id_col: str = "url",
 ) -> tuple[DataFrame, DataFrame]:
     """Reference 'similar pass' output: (clusters, surviving_edges).
 
@@ -241,30 +250,34 @@ def name_pass_clusters(
     if n_edges <= driver_cutover and _edge_bytes_estimate(
         name_edges.select("src", "dst"), n_edges, extra=8
     ) <= driver_max_bytes:
-        return _name_pass_driver(name_edges, named)
+        return _name_pass_driver(name_edges, named, id_col)
 
-    labels = connected_components(name_edges, salt_buckets=cfg.salt_buckets)
-    seq = sequential_cluster_ids(labels, named)
+    labels = connected_components(
+        name_edges, id_col=id_col, salt_buckets=cfg.salt_buckets
+    )
+    seq = sequential_cluster_ids(labels, named, id_col)
     kept_labels = labels.join(seq, "cluster_id", "left_anti")
-    stats = cluster_stats(name_edges, kept_labels)
+    stats = cluster_stats(name_edges, kept_labels, id_col)
     clusters = kept_labels.join(stats, "cluster_id").filter(F.col("cluster_size") > 1)
-    lab_src = kept_labels.select(F.col("url").alias("src"))
+    lab_src = kept_labels.select(F.col(id_col).alias("src"))
     surviving = name_edges.join(lab_src, "src", "left_semi")
     return clusters, surviving
 
 
-def _name_pass_driver(name_edges: DataFrame, named: DataFrame):
+def _name_pass_driver(name_edges: DataFrame, named: DataFrame, id_col: str = "url"):
     """Driver-side pandas implementation of the similar-pass epilogue.
     Same semantics as the distributed path; Arrow transfer both ways."""
     spark = name_edges.sparkSession
     epdf = name_edges.select("src", "dst", "sim").toPandas()
-    urls = spark.createDataFrame(
-        pd.DataFrame({"url": pd.unique(epdf[["src", "dst"]].to_numpy().ravel())})
+    touched = spark.createDataFrame(
+        pd.DataFrame({id_col: pd.unique(epdf[["src", "dst"]].to_numpy().ravel())})
     )
     names_pdf = (
-        named.join(urls, "url", "left_semi").select("url", "cleaned_name").toPandas()
+        named.join(touched, id_col, "left_semi")
+        .select(id_col, "cleaned_name")
+        .toPandas()
     )
-    name_of = dict(zip(names_pdf["url"], names_pdf["cleaned_name"]))
+    name_of = dict(zip(names_pdf[id_col], names_pdf["cleaned_name"]))
 
     parent: dict[str, str] = {}
 
@@ -309,13 +322,15 @@ def _name_pass_driver(name_edges: DataFrame, named: DataFrame):
         if root not in sequential_roots and len(us) > 1
         for u in us
     ]
+    id_dtype = epdf["src"].dtype if len(epdf) else "str"
     clusters = spark.createDataFrame(
         pd.DataFrame(
-            rows, columns=["url", "cluster_id", "avg_sim", "n_edges", "cluster_size"]
+            rows, columns=[id_col, "cluster_id", "avg_sim", "n_edges", "cluster_size"]
         )
         if rows
         else pd.DataFrame(
-            {"url": pd.Series(dtype="str"), "cluster_id": pd.Series(dtype="str"),
+            {id_col: pd.Series(dtype=id_dtype),
+             "cluster_id": pd.Series(dtype=id_dtype),
              "avg_sim": pd.Series(dtype="float64"), "n_edges": pd.Series(dtype="int64"),
              "cluster_size": pd.Series(dtype="int64")}
         )

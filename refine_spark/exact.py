@@ -53,16 +53,20 @@ def with_size_kind(docs: DataFrame) -> DataFrame:
     )
 
 
-def exact_dup_groups(docs: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
-    """Return (url, size, kind, sample_hash, group_size) for exact-dup rows.
+def exact_dup_groups(
+    docs: DataFrame, cfg: DedupConfig = DEFAULT, id_col: str = "url"
+) -> DataFrame:
+    """Return (id, size, kind, sample_hash, group_size) for exact-dup rows.
 
     The sample hash is computed map-side on the narrow projection, so the
-    single shuffle moves only (url, size, kind, sample_hash) rows — never
+    single shuffle moves only (id, size, kind, sample_hash) rows — never
     the html payload (dupes.rs:126-151 group semantics, Spark-first cost
-    model; see module docstring).
+    model; see module docstring). `id_col` is the row identity: the url
+    string for standalone queries, the int64 doc_id on the pipeline hot
+    path (8-byte shuffle keys instead of full urls).
     """
     sampled = with_size_kind(docs).select(
-        "url",
+        id_col,
         "size",
         "kind",
         F.sha2(
@@ -73,21 +77,23 @@ def exact_dup_groups(docs: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
     return (
         sampled.withColumn("group_size", F.count(F.lit(1)).over(wg))
         .filter(F.col("group_size") > 1)
-        .select("url", "size", "kind", "sample_hash", "group_size")
+        .select(id_col, "size", "kind", "sample_hash", "group_size")
     )
 
 
-def exact_edges(docs: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
+def exact_edges(
+    docs: DataFrame, cfg: DedupConfig = DEFAULT, id_col: str = "url"
+) -> DataFrame:
     """Star edges (member -> group representative) for the global clustering
     pass; sim = 1.0 by definition of exact equality."""
-    groups = exact_dup_groups(docs, cfg)
+    groups = exact_dup_groups(docs, cfg, id_col)
     wg = W.partitionBy("size", "kind", "sample_hash")
-    with_rep = groups.withColumn("rep", F.min("url").over(wg))
+    with_rep = groups.withColumn("rep", F.min(id_col).over(wg))
     return (
-        with_rep.filter(F.col("url") != F.col("rep"))
+        with_rep.filter(F.col(id_col) != F.col("rep"))
         .select(
             F.col("rep").alias("src"),
-            F.col("url").alias("dst"),
+            F.col(id_col).alias("dst"),
             F.lit(1.0).alias("sim"),
             F.lit("exact").alias("pass_name"),
         )

@@ -33,14 +33,16 @@ from .signatures import simhash_cap_stats, simhash_edges, with_signatures
 from .substring import substring_cap_stats, substring_edges
 
 
-def minhash_edges(docs_with_sig: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
+def minhash_edges(
+    docs_with_sig: DataFrame, cfg: DedupConfig = DEFAULT, id_col: str = "url"
+) -> DataFrame:
     """LSH candidates verified by the signature-estimated Jaccard — pure
     JVM expression over the two signatures (no text shuffle, no UDF):
     est = |matching positions| / num_perm."""
-    cands = lsh_candidates(docs_with_sig, cfg)
-    sigs = docs_with_sig.select("url", "minhash")
-    a = sigs.select(F.col("url").alias("src"), F.col("minhash").alias("sig_a"))
-    b = sigs.select(F.col("url").alias("dst"), F.col("minhash").alias("sig_b"))
+    cands = lsh_candidates(docs_with_sig, cfg, id_col=id_col)
+    sigs = docs_with_sig.select(id_col, "minhash")
+    a = sigs.select(F.col(id_col).alias("src"), F.col("minhash").alias("sig_a"))
+    b = sigs.select(F.col(id_col).alias("dst"), F.col("minhash").alias("sig_b"))
     est = (
         F.size(
             F.filter(
@@ -82,8 +84,36 @@ def _log_cap_stats(runner: StageRunner, stage: str, stats_df: DataFrame) -> None
 
 
 def prepare(docs: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
-    """Identity + cleaned-name + size/kind projection (computed once)."""
-    return with_cleaned_name(with_size_kind(with_identity_columns(docs)))
+    """Identity + cleaned-name + size/kind projection (computed once),
+    plus `doc_id` = xxhash64(url): the compact int64 row identity every
+    pair-generation / scoring / clustering stage shuffles instead of the
+    url string. Web urls average >100 bytes; the shuffle-bound middle of
+    the pipeline (band explode, pair dedup, scoring joins, CC label
+    loop) is bandwidth-limited on wide machines (BENCH/BASELINE.md
+    STREAM analysis), so an 8-byte key cuts those stages' shuffled bytes
+    by ~10x. Urls re-attach once, at cluster emission (run_dedup).
+
+    Collision note: 64-bit keys are birthday-safe into the 10^8-10^9 doc
+    range per run; at true 10^12-doc scale swap the hash for a dictionary
+    id (monotonically_increasing_id over the deduped url set, persisted)
+    — `verify_doc_ids` checks the premise either way."""
+    base = with_cleaned_name(with_size_kind(with_identity_columns(docs)))
+    return base.withColumn("doc_id", F.xxhash64("url"))
+
+
+def verify_doc_ids(base: DataFrame) -> None:
+    """Assert xxhash64(url) is collision-free over this corpus (one
+    narrow two-aggregate job). Run in checkpointed mode, where one extra
+    corpus pass is already the accepted trade for resumability."""
+    row = base.agg(
+        F.count_distinct("url").alias("n_urls"),
+        F.count_distinct("doc_id").alias("n_ids"),
+    ).collect()[0]
+    if row["n_urls"] != row["n_ids"]:
+        raise ValueError(
+            f"doc_id collision: {row['n_urls']} urls -> {row['n_ids']} ids; "
+            "switch prepare() to dictionary ids for this corpus"
+        )
 
 
 def run_dedup(
@@ -103,55 +133,79 @@ def run_dedup(
     runner = StageRunner(spark, checkpoint_dir, lazy=lazy)
 
     base = prepare(docs, cfg).localCheckpoint()
+    if not lazy:
+        verify_doc_ids(base)
+    # every edge pass below shuffles the 8-byte doc_id, never the url;
+    # this map re-attaches urls exactly once, at cluster emission
+    ids = base.select("doc_id", "url")
 
     edge_frames: list[DataFrame] = []
     name_clusters = None
 
     if "exact" in passes:
-        edge_frames.append(runner.run("exact_edges", lambda: exact_edges(base, cfg)))
+        edge_frames.append(
+            runner.run("exact_edges", lambda: exact_edges(base, cfg, id_col="doc_id"))
+        )
 
     if "text" in passes or "simhash" in passes:
         signed = runner.run(
             "signatures",
-            lambda: with_signatures(base.select("url", "text"), cfg),
+            lambda: with_signatures(base.select("doc_id", "text"), cfg),
             reused=True,  # feeds band explode AND both sides of the verify join
         )
         if "text" in passes:
             edge_frames.append(
-                runner.run("text_edges", lambda: minhash_edges(signed, cfg))
+                runner.run(
+                    "text_edges",
+                    lambda: minhash_edges(signed, cfg, id_col="doc_id"),
+                )
             )
-            _log_cap_stats(runner, "text_edges_cap", lsh_cap_stats(signed, cfg))
+            _log_cap_stats(
+                runner, "text_edges_cap", lsh_cap_stats(signed, cfg, id_col="doc_id")
+            )
         if "simhash" in passes:
             edge_frames.append(
                 # star expansion: identical-fingerprint groups contribute
                 # O(members) edges, not O(members^2) — same connectivity
                 runner.run(
                     "simhash_edges",
-                    lambda: simhash_edges(signed, cfg, expand="star"),
+                    lambda: simhash_edges(signed, cfg, expand="star", id_col="doc_id"),
                 )
             )
             _log_cap_stats(
-                runner, "simhash_edges_cap", simhash_cap_stats(signed, cfg)
+                runner,
+                "simhash_edges_cap",
+                simhash_cap_stats(signed, cfg, id_col="doc_id"),
             )
 
     if "name" in passes:
-        named = base.select("url", "cleaned_name", "tokens", "kind")
+        named = base.select("doc_id", "cleaned_name", "tokens", "kind")
         raw_name_edges = runner.run(
             "name_edges_raw",
             # weighted prefix filtering (exact) + shared weight frame
-            lambda: name_pass_edges(named, cfg),
+            lambda: name_pass_edges(named, cfg, id_col="doc_id"),
             reused=True,  # feeds name CC and the surviving-edge semi-join
         )
-        name_clusters, surviving = name_pass_clusters(raw_name_edges, named, cfg)
+        name_clusters, surviving = name_pass_clusters(
+            raw_name_edges, named, cfg, id_col="doc_id"
+        )
         surviving = runner.run("name_edges", lambda: surviving)
         edge_frames.append(surviving)
+        name_clusters = _relabel_by_url(
+            name_clusters, ids, ["avg_sim", "n_edges", "cluster_size"]
+        )
 
     if "substring" in passes:
         edge_frames.append(
-            runner.run("substring_edges", lambda: substring_edges(base, cfg))
+            runner.run(
+                "substring_edges",
+                lambda: substring_edges(base, cfg, id_col="doc_id"),
+            )
         )
         _log_cap_stats(
-            runner, "substring_edges_cap", substring_cap_stats(base, cfg)
+            runner,
+            "substring_edges_cap",
+            substring_cap_stats(base, cfg, id_col="doc_id"),
         )
 
     all_edges = edge_frames[0]
@@ -159,13 +213,16 @@ def run_dedup(
         all_edges = all_edges.unionByName(e)
     all_edges = runner.run("edges", lambda: all_edges, reused=True)
 
-    labels = connected_components(all_edges, salt_buckets=cfg.salt_buckets)
-    stats = cluster_stats(all_edges, labels)
+    labels = connected_components(
+        all_edges, id_col="doc_id", salt_buckets=cfg.salt_buckets
+    )
+    stats = cluster_stats(all_edges, labels, id_col="doc_id")
+    with_stats = labels.join(stats, "cluster_id").select(
+        "doc_id", "cluster_id", "avg_sim", F.col("cluster_size").cast("int")
+    )
     clusters = runner.run(
         "clusters",
-        lambda: labels.join(stats, "cluster_id").select(
-            "url", "cluster_id", "avg_sim", F.col("cluster_size").cast("int")
-        ),
+        lambda: _relabel_by_url(with_stats, ids, ["avg_sim", "cluster_size"]),
     )
     runner.write_metrics()
     return {
@@ -175,6 +232,20 @@ def run_dedup(
         "name_clusters": name_clusters,
         "metrics": runner.metrics,
     }
+
+
+def _relabel_by_url(
+    clustered: DataFrame, ids: DataFrame, keep: list[str]
+) -> DataFrame:
+    """Translate int64 (doc_id, cluster_id) cluster rows back to the
+    url-keyed public shape: url per member, cluster_id = min member url
+    (the reference's cluster identity). Two narrow shuffles over LABEL
+    rows only — the edge-scale middle of the pipeline never sees a url."""
+    lab = clustered.join(ids, "doc_id")
+    min_urls = lab.groupBy("cluster_id").agg(F.min("url").alias("_cluster_url"))
+    return lab.join(min_urls, "cluster_id").select(
+        "url", F.col("_cluster_url").alias("cluster_id"), *keep
+    )
 
 
 def pair_recall(clusters: DataFrame, truth: DataFrame) -> float:

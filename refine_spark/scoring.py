@@ -99,8 +99,8 @@ def make_pair_score_udf(cfg: DedupConfig = DEFAULT):
     return dice_udf, rare_udf
 
 
-def token_weights(named: DataFrame) -> DataFrame:
-    """Per-url token-weight table with 1/ln(1+freq) weights from the
+def token_weights(named: DataFrame, id_col: str = "url") -> DataFrame:
+    """Per-document token-weight table with 1/ln(1+freq) weights from the
     corpus-wide token frequency aggregate (with multiplicity,
     dupes.rs:158-165). Frequency is an aggregate DataFrame joined back,
     which scales; at test sizes Catalyst broadcasts it.
@@ -120,15 +120,15 @@ def token_weights(named: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     tokw = (
-        named.select("url", F.explode(F.array_distinct("tokens")).alias("token"))
+        named.select(id_col, F.explode(F.array_distinct("tokens")).alias("token"))
         .join(freq, "token")
         .withColumn("w", F.lit(1.0) / F.log1p(F.col("freq")))
         .withColumn("tid", F.xxhash64("token"))
         .withColumn("numeric", ~F.col("token").rlike("[^0-9]"))
-        .groupBy("url")
+        .groupBy(id_col)
         .agg(F.sort_array(F.collect_list(F.struct("tid", "w", "numeric"))).alias("tw"))
         .select(
-            "url",
+            id_col,
             F.transform("tw", lambda x: x["tid"]).alias("tids"),
             F.transform("tw", lambda x: x["w"]).alias("ws"),
             F.aggregate(
@@ -174,7 +174,9 @@ def _rare_jvm(cfg: DedupConfig):
     return F.when((a_score == 0.0) | (b_score == 0.0), F.lit(0.0)).otherwise(rare)
 
 
-def name_pass_edges(named: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
+def name_pass_edges(
+    named: DataFrame, cfg: DedupConfig = DEFAULT, id_col: str = "url"
+) -> DataFrame:
     """The full name pass with ONE token-weight computation shared
     between candidate generation and scoring.
 
@@ -188,16 +190,16 @@ def name_pass_edges(named: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
     from pyspark.sql import Window as W
 
     bound = (cfg.threshold - cfg.string_weight) / cfg.rare_token_weight
-    tok = named.select("url", F.explode(F.array_distinct("tokens")).alias("token"))
+    tok = named.select(id_col, F.explode(F.array_distinct("tokens")).alias("token"))
     freq = (
         named.select(F.explode("tokens").alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     w = tok.join(freq, "token").select(
-        "url", "token", (F.lit(1.0) / F.log1p("freq")).alias("w")
+        id_col, "token", (F.lit(1.0) / F.log1p("freq")).alias("w")
     )
-    wu = W.partitionBy("url")
+    wu = W.partitionBy(id_col)
     wcum = wu.orderBy(F.desc("w"), "token").rowsBetween(W.unboundedPreceding, 0)
     flagged = (
         w.withColumn("wsum", F.sum("w").over(wu))
@@ -208,8 +210,8 @@ def name_pass_edges(named: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
         )
         .localCheckpoint(eager=True)  # feeds candidates AND the arrays
     )
-    probe = flagged.filter("in_prefix").select(F.col("url").alias("pu"), "token")
-    index = flagged.select(F.col("url").alias("iu"), "token")
+    probe = flagged.filter("in_prefix").select(F.col(id_col).alias("pu"), "token")
+    index = flagged.select(F.col(id_col).alias("iu"), "token")
     pairs = (
         probe.join(index, "token")
         .filter(F.col("pu") != F.col("iu"))
@@ -221,13 +223,13 @@ def name_pass_edges(named: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
     tokw = (
         flagged.withColumn("tid", F.xxhash64("token"))
         .withColumn("numeric", ~F.col("token").rlike("[^0-9]"))
-        .groupBy("url")
+        .groupBy(id_col)
         .agg(
             F.sort_array(F.collect_list(F.struct("tid", "w", "numeric"))).alias("tw"),
             F.first("wsum").alias("wsum"),
         )
         .select(
-            "url",
+            id_col,
             F.transform("tw", lambda x: x["tid"]).alias("tids"),
             F.transform("tw", lambda x: x["w"]).alias("ws"),
             "wsum",
@@ -237,11 +239,14 @@ def name_pass_edges(named: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
             ).alias("nonnum"),
         )
     )
-    return _score_pairs_with_weights(pairs, named, tokw, cfg)
+    return _score_pairs_with_weights(pairs, named, tokw, cfg, id_col=id_col)
 
 
 def score_name_pairs(
-    pairs: DataFrame, named: DataFrame, cfg: DedupConfig = DEFAULT
+    pairs: DataFrame,
+    named: DataFrame,
+    cfg: DedupConfig = DEFAULT,
+    id_col: str = "url",
 ) -> DataFrame:
     """Score candidate pairs; emit qualifying edges (src, dst, sim, 'name').
 
@@ -257,7 +262,9 @@ def score_name_pairs(
          0.4 + rare*0.6 < t (dice <= 1) — only the narrow middle band
          pays the bigram-multiset dice pandas UDF.
     """
-    return _score_pairs_with_weights(pairs, named, token_weights(named), cfg)
+    return _score_pairs_with_weights(
+        pairs, named, token_weights(named, id_col), cfg, id_col=id_col
+    )
 
 
 def _score_pairs_with_weights(
@@ -265,6 +272,7 @@ def _score_pairs_with_weights(
     named: DataFrame,
     tokw: DataFrame,
     cfg: DedupConfig = DEFAULT,
+    id_col: str = "url",
 ) -> DataFrame:
     dice_udf, _ = make_pair_score_udf(cfg)
     sw, rw, t = cfg.string_weight, cfg.rare_token_weight, cfg.threshold
@@ -272,12 +280,12 @@ def _score_pairs_with_weights(
     # big join carries only the MINIMAL payload per side: kind + distinct
     # tokens + weights. Names attach after the prune (the pruned band is
     # tiny), halving the dominant shuffle's bytes.
-    side = named.select("url", "kind").join(tokw, "url").localCheckpoint(eager=True)
+    side = named.select(id_col, "kind").join(tokw, id_col).localCheckpoint(eager=True)
     a = side.select(*[F.col(c).alias(f"{c}_a") for c in side.columns])
     b = side.select(*[F.col(c).alias(f"{c}_b") for c in side.columns])
     joined = (
-        pairs.join(a, pairs.src == a.url_a)
-        .join(b, pairs.dst == b.url_b)
+        pairs.join(a, pairs.src == a[f"{id_col}_a"])
+        .join(b, pairs.dst == b[f"{id_col}_b"])
         .filter(F.col("kind_a") == F.col("kind_b"))
         .filter(
             # >=1 shared non-numeric token (dupes.rs:263-269; the
@@ -296,9 +304,9 @@ def _score_pairs_with_weights(
     # attach names only now; spread the (byte-small) band across the
     # cluster before the Python dice stage — AQE's size-based coalescing
     # would serialize it (explicit numPartitions is never coalesced)
-    names = named.select("url", "cleaned_name")
-    na = names.select(F.col("url").alias("src"), F.col("cleaned_name").alias("name_a"))
-    nb = names.select(F.col("url").alias("dst"), F.col("cleaned_name").alias("name_b"))
+    names = named.select(id_col, "cleaned_name")
+    na = names.select(F.col(id_col).alias("src"), F.col("cleaned_name").alias("name_a"))
+    nb = names.select(F.col(id_col).alias("dst"), F.col("cleaned_name").alias("name_b"))
     parallelism = pairs.sparkSession.sparkContext.defaultParallelism
     withnames = candidates.join(na, "src").join(nb, "dst").repartition(parallelism)
     lev_norm = F.lit(1.0) - F.levenshtein("name_a", "name_b") / F.greatest(

@@ -139,7 +139,9 @@ def hamming_distance(col_a, col_b):
     return F.bit_count(col_a.bitwiseXOR(col_b))
 
 
-def simhash_band_keys(df, cfg: DedupConfig = DEFAULT, sig_col: str = "simhash"):
+def simhash_band_keys(
+    df, cfg: DedupConfig = DEFAULT, sig_col: str = "simhash", id_col: str = "url"
+):
     """Explode the fingerprint into (band, band_key) rows, JVM-side.
 
     Bit-sliced banding: `simhash_bands` equal slices of the fingerprint.
@@ -150,7 +152,7 @@ def simhash_band_keys(df, cfg: DedupConfig = DEFAULT, sig_col: str = "simhash"):
     width = cfg.simhash_bits // cfg.simhash_bands
     mask = (1 << width) - 1
     banded = df.select(
-        "url",
+        id_col,
         sig_col,
         F.explode(F.sequence(F.lit(0), F.lit(cfg.simhash_bands - 1))).alias("band"),
     ).withColumn(
@@ -159,10 +161,15 @@ def simhash_band_keys(df, cfg: DedupConfig = DEFAULT, sig_col: str = "simhash"):
         # the SQL form accepts a column expression
         F.expr(f"shiftright({sig_col}, band * {width})").bitwiseAND(F.lit(mask)),
     )
-    return banded.select("url", "band", "band_key")
+    return banded.select(id_col, "band", "band_key")
 
 
-def simhash_edges(docs_with_sig, cfg: DedupConfig = DEFAULT, expand: str = "pairs"):
+def simhash_edges(
+    docs_with_sig,
+    cfg: DedupConfig = DEFAULT,
+    expand: str = "pairs",
+    id_col: str = "url",
+):
     """Edges (src, dst, sim, 'simhash') for pairs within the hamming ball.
 
     Dedupe-before-banding: identical fingerprints collapse to ONE
@@ -186,24 +193,24 @@ def simhash_edges(docs_with_sig, cfg: DedupConfig = DEFAULT, expand: str = "pair
     """
     from .candidates import _pairs_from_buckets
 
-    sigs = docs_with_sig.select("url", "simhash")
+    sigs = docs_with_sig.select(id_col, "simhash")
     groups = sigs.groupBy("simhash").agg(
-        F.min("url").alias("rep"), F.count(F.lit(1)).alias("n_members")
+        F.min(id_col).alias("rep"), F.count(F.lit(1)).alias("n_members")
     )
     # groups feeds banding, the verify join, AND the expansion joins —
     # materialize once (tiny: one row per distinct fingerprint) instead
     # of re-aggregating the corpus in every subplan
     groups = groups.localCheckpoint(eager=True)
-    reps = groups.select(F.col("rep").alias("url"), "simhash")
+    reps = groups.select(F.col("rep").alias(id_col), "simhash")
 
-    banded = simhash_band_keys(reps, cfg)
+    banded = simhash_band_keys(reps, cfg, id_col=id_col)
     rep_pairs = (
-        _pairs_from_buckets(banded, "url", ["band", "band_key"], cfg.band_cap)
+        _pairs_from_buckets(banded, id_col, ["band", "band_key"], cfg.band_cap)
         .select("src", "dst")
         .dropDuplicates(["src", "dst"])
     )
-    a = reps.select(F.col("url").alias("src"), F.col("simhash").alias("sh_a"))
-    b = reps.select(F.col("url").alias("dst"), F.col("simhash").alias("sh_b"))
+    a = reps.select(F.col(id_col).alias("src"), F.col("simhash").alias("sh_a"))
+    b = reps.select(F.col(id_col).alias("dst"), F.col("simhash").alias("sh_b"))
     rep_edges = (
         rep_pairs.join(a, "src")
         .join(b, "dst")
@@ -223,10 +230,10 @@ def simhash_edges(docs_with_sig, cfg: DedupConfig = DEFAULT, expand: str = "pair
                 groups.filter(F.col("n_members") > 1).select("simhash", "rep"),
                 "simhash",
             )
-            .filter(F.col("url") != F.col("rep"))
+            .filter(F.col(id_col) != F.col("rep"))
             .select(
                 F.col("rep").alias("src"),
-                F.col("url").alias("dst"),
+                F.col(id_col).alias("dst"),
                 F.lit(0).alias("ham"),
             )
         )
@@ -246,14 +253,14 @@ def simhash_edges(docs_with_sig, cfg: DedupConfig = DEFAULT, expand: str = "pair
     # expand == "pairs": exact hamming-ball pair semantics
     # intra-group: all (i < j) member pairs per identical fingerprint
     intra = (
-        _pairs_from_buckets(sigs, "url", ["simhash"], cap=1 << 30)
+        _pairs_from_buckets(sigs, id_col, ["simhash"], cap=1 << 30)
         .select("src", "dst", F.lit(0).alias("ham"))
     )
     # cross-group: every member-of-A x member-of-B pair per rep edge
     cross = rep_edges.join(
-        sigs.select(F.col("simhash").alias("sh_a"), F.col("url").alias("ua")), "sh_a"
+        sigs.select(F.col("simhash").alias("sh_a"), F.col(id_col).alias("ua")), "sh_a"
     ).join(
-        sigs.select(F.col("simhash").alias("sh_b"), F.col("url").alias("ub")), "sh_b"
+        sigs.select(F.col("simhash").alias("sh_b"), F.col(id_col).alias("ub")), "sh_b"
     ).select(
         F.least("ua", "ub").alias("src"),
         F.greatest("ua", "ub").alias("dst"),
@@ -262,19 +269,19 @@ def simhash_edges(docs_with_sig, cfg: DedupConfig = DEFAULT, expand: str = "pair
     return intra.unionByName(cross).select("src", "dst", sim_expr, pass_col)
 
 
-def simhash_cap_stats(docs_with_sig, cfg: DedupConfig = DEFAULT):
+def simhash_cap_stats(docs_with_sig, cfg: DedupConfig = DEFAULT, id_col: str = "url"):
     """Cap accounting for the simhash band join (one-row DF), over the
     same dedupe-before-banding rep frame simhash_edges buckets."""
     from .candidates import bucket_cap_stats
 
     reps = (
-        docs_with_sig.select("url", "simhash")
+        docs_with_sig.select(id_col, "simhash")
         .groupBy("simhash")
-        .agg(F.min("url").alias("url"))
-        .select("url", "simhash")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, "simhash")
     )
-    banded = simhash_band_keys(reps, cfg)
-    return bucket_cap_stats(banded, "url", ["band", "band_key"], cfg.band_cap)
+    banded = simhash_band_keys(reps, cfg, id_col=id_col)
+    return bucket_cap_stats(banded, id_col, ["band", "band_key"], cfg.band_cap)
 
 
 def make_signatures_udf(cfg: DedupConfig = DEFAULT):

@@ -136,6 +136,33 @@ def make_hyperplane_udf(
     return bucket_udf
 
 
+def make_multitable_hyperplane_udf(
+    dim: int, n_planes: int, n_tables: int, cfg: DedupConfig = DEFAULT
+):
+    """All `n_tables` bucket ids in ONE pass: array<long> of length
+    n_tables per row, element t bit-identical to
+    make_hyperplane_udf(table=t) (the per-table plane blocks are simply
+    concatenated into one (dim, n_tables*n_planes) matmul). One corpus
+    scan + one Arrow serialization instead of n_tables UDF passes — at
+    100 TB of embeddings the difference between 1x and 8x scan cost on
+    the dedup path."""
+    planes = np.concatenate(
+        [rademacher_planes(dim, n_planes, t) for t in range(n_tables)], axis=1
+    )
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets_udf(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)  # (batch, dim)
+        bits = (mat @ planes) > 0  # (batch, n_tables*n_planes)
+        per_table = (
+            bits.reshape(len(mat), n_tables, n_planes).astype(np.int64) @ weights
+        )  # (batch, n_tables)
+        return pd.Series(list(per_table))
+
+    return buckets_udf
+
+
 def _probe_masks(n_planes: int, radius: int) -> list[int]:
     """All xor masks of hamming weight <= radius over n_planes bits
     (multi-probe LSH: neighboring buckets differ in few sign bits)."""
@@ -225,18 +252,15 @@ def lsh_dup_pairs(
 
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
-    keyed = embeddings.select(id_col, vec_col)
-    banded = None
-    for t in range(n_tables):
-        bucket = make_hyperplane_udf(dim, n_planes, cfg, table=t)
-        part = keyed.select(
-            F.col(id_col).alias("url"),  # _pairs_from_buckets id col
-            F.lit(t).alias("tbl"),
-            bucket(F.col(vec_col)).alias("bucket"),
-        )
-        banded = part if banded is None else banded.unionByName(part)
+    # ONE fused bucketing pass over the corpus (round-3 ran a separate
+    # UDF scan per table — n_tables corpus reads + Arrow round-trips);
+    # posexplode recovers the (table, bucket) banding rows
+    buckets = make_multitable_hyperplane_udf(dim, n_planes, n_tables, cfg)
+    banded = embeddings.select(
+        id_col, F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bucket")
+    )
     pairs = (
-        _pairs_from_buckets(banded, "url", ["tbl", "bucket"], cfg.band_cap)
+        _pairs_from_buckets(banded, id_col, ["tbl", "bucket"], cfg.band_cap)
         .select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )

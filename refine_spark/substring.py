@@ -79,48 +79,56 @@ def _fingerprints(text: str, n: int, w: int) -> np.ndarray:
     return np.unique(mins).view(np.int64)
 
 
-def winnow_fingerprints(docs: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
-    """(url, fp) one row per selected fingerprint."""
+def winnow_fingerprints(
+    docs: DataFrame, cfg: DedupConfig = DEFAULT, id_col: str = "url"
+) -> DataFrame:
+    """(id, fp) one row per selected fingerprint. `id_col` may be the
+    int64 doc_id (pipeline hot path) or the url string (standalone)."""
     n, w = cfg.winnow_ngram, cfg.winnow_window
+    id_type = dict(docs.dtypes)[id_col]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            urls, fps = [], []
-            for url, text in zip(pdf["url"], pdf["text"]):
+            ids, fps = [], []
+            for doc_id, text in zip(pdf[id_col], pdf["text"]):
                 f = _fingerprints(text or "", n, w)
-                urls.extend([url] * len(f))
+                ids.extend([doc_id] * len(f))
                 fps.extend(f.tolist())
-            yield pd.DataFrame({"url": urls, "fp": pd.array(fps, dtype="int64")})
+            yield pd.DataFrame({id_col: ids, "fp": pd.array(fps, dtype="int64")})
 
-    return docs.select("url", "text").mapInPandas(gen, "url string, fp long")
+    return docs.select(id_col, "text").mapInPandas(gen, f"{id_col} {id_type}, fp long")
 
 
-def substring_cap_stats(docs: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
+def substring_cap_stats(
+    docs: DataFrame, cfg: DedupConfig = DEFAULT, id_col: str = "url"
+) -> DataFrame:
     """Cap accounting for the winnowing-fingerprint bucket join (one-row
     DF). Recomputes fingerprints — intended for checkpointed (non-lazy)
     pipeline runs where the accounting is worth one extra narrow pass."""
     from .candidates import bucket_cap_stats
 
-    fps = winnow_fingerprints(docs, cfg)
-    return bucket_cap_stats(fps, "url", ["fp"], cfg.band_cap)
+    fps = winnow_fingerprints(docs, cfg, id_col=id_col)
+    return bucket_cap_stats(fps, id_col, ["fp"], cfg.band_cap)
 
 
-def substring_edges(docs: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
+def substring_edges(
+    docs: DataFrame, cfg: DedupConfig = DEFAULT, id_col: str = "url"
+) -> DataFrame:
     """Edges (src, dst, sim, 'substring') for pairs sharing a substring of
     length >= cfg.min_substring; sim = lcs_len / min(text lengths)."""
     # materialize the winnowing output once: _pairs_from_buckets reads its
     # input from three subplans (size count, cold anti-join, hot semi-join)
     # and exchange reuse is not guaranteed under AQE — without this the
     # CPU-heavy mapInPandas winnowing stage can run per subplan
-    fps = winnow_fingerprints(docs, cfg).localCheckpoint(eager=True)
+    fps = winnow_fingerprints(docs, cfg, id_col=id_col).localCheckpoint(eager=True)
     pairs = (
-        _pairs_from_buckets(fps, "url", ["fp"], cfg.band_cap)
+        _pairs_from_buckets(fps, id_col, ["fp"], cfg.band_cap)
         .select("src", "dst")
         .dropDuplicates(["src", "dst"])
     )
-    texts = docs.select("url", "text")
-    a = texts.select(F.col("url").alias("src"), F.col("text").alias("text_a"))
-    b = texts.select(F.col("url").alias("dst"), F.col("text").alias("text_b"))
+    texts = docs.select(id_col, "text")
+    a = texts.select(F.col(id_col).alias("src"), F.col("text").alias("text_a"))
+    b = texts.select(F.col(id_col).alias("dst"), F.col("text").alias("text_b"))
     # candidate pairs are byte-small, so AQE coalesces them to ~1 partition
     # — which would serialize the CPU-heavy LCS verify. Spread the joined
     # rows across the cluster as the LAST shuffle before the Python stage

@@ -450,3 +450,47 @@ def test_gif_codec():
                 b"JIF89a whatever"):
         with _pytest.raises(NotImplementedError):
             decode_gif(bad)
+
+def test_multitable_bucketing_fused_single_pass(spark):
+    """Round-4 fusion guard: the multi-table LSH bucketing must (a) be
+    bit-identical per table to the single-table UDF it replaced and
+    (b) bucket the corpus in ONE Python-eval stage — round 3 ran one UDF
+    scan per table (8 corpus reads on the dedup path)."""
+    import contextlib
+    import io
+    import re
+
+    import numpy as np
+
+    from refine_spark.simsearch import (
+        make_hyperplane_udf, make_multitable_hyperplane_udf,
+    )
+
+    rng = np.random.RandomState(7)
+    dim, n_planes, n_tables = 16, 10, 8
+    df = spark.createDataFrame(
+        [(i, rng.standard_normal(dim).tolist()) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    fused = make_multitable_hyperplane_udf(dim, n_planes, n_tables)
+    got = {
+        r["vec_id"]: r["b"]
+        for r in df.select("vec_id", fused(F.col("embedding")).alias("b")).collect()
+    }
+    for t in range(n_tables):
+        one = make_hyperplane_udf(dim, n_planes, table=t)
+        ref = {
+            r["vec_id"]: r["b"]
+            for r in df.select("vec_id", one(F.col("embedding")).alias("b")).collect()
+        }
+        assert {k: v[t] for k, v in got.items()} == ref, f"table {t} differs"
+
+    # plan guard: exactly one Python-eval node feeds the banding explode
+    banded = df.select(
+        "vec_id", F.posexplode(fused(F.col("embedding"))).alias("tbl", "bucket")
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        banded.explain("formatted")
+    n_py = len(re.findall(r"\(\d+\) ArrowEvalPython", buf.getvalue()))
+    assert n_py == 1, buf.getvalue()

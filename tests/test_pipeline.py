@@ -248,3 +248,39 @@ def test_cap_stats_metrics_logged(spark):
     result2 = run_dedup(spark, docs, passes=("text",))
     extra = {m["stage"]: m for m in result2["metrics"]}["text_edges_cap"]["extra"]
     assert "capped_buckets=0" in extra and "est_dropped_pairs=0" in extra
+
+def test_edge_passes_shuffle_int_ids_not_urls(spark):
+    """Round-4 scale guard: with the pipeline's int64 doc_id threaded
+    through, no Exchange in any edge pass may carry the url string (or
+    payload columns) — urls attach once at cluster emission. The
+    shuffle-bound middle was measured bandwidth-limited; 8-byte keys are
+    the fix (VERDICT r3 item 1)."""
+    import contextlib
+    import io
+    import re
+
+    from refine_spark.exact import exact_edges
+    from refine_spark.pipeline import minhash_edges, prepare
+    from refine_spark.scoring import name_pass_edges
+    from refine_spark.signatures import simhash_edges, with_signatures
+    from refine_spark.substring import substring_edges
+
+    docs, _ = synth.to_spark(spark, n_docs=60)
+    base = prepare(docs).localCheckpoint()
+    signed = with_signatures(base.select("doc_id", "text"))
+    named = base.select("doc_id", "cleaned_name", "tokens", "kind")
+    frames = {
+        "exact": exact_edges(base, id_col="doc_id"),
+        "text": minhash_edges(signed, id_col="doc_id"),
+        "simhash": simhash_edges(signed, expand="star", id_col="doc_id"),
+        "name": name_pass_edges(named, id_col="doc_id"),
+        "substring": substring_edges(base, id_col="doc_id"),
+    }
+    for pass_name, df in frames.items():
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        for section in re.split(r"\n\n", buf.getvalue()):
+            if re.match(r"\s*\(\d+\) Exchange", section):
+                assert "url#" not in section, (pass_name, section)
+                assert "html#" not in section, (pass_name, section)
