@@ -124,6 +124,27 @@ def bucket_cap_stats(
     )
 
 
+def materialize_pairs(
+    pairs: DataFrame, broadcast_max_rows: int = 4_000_000
+) -> tuple[DataFrame, int]:
+    """Materialize a candidate-pair frame (it always feeds TWO payload
+    attach joins) and broadcast-hint it when small.
+
+    Why: the verify joins attach fat per-doc payloads (signature arrays,
+    texts, token-weight arrays) to each pair side. Planned statically,
+    Catalyst sees unknown sizes and picks sort-merge — the payload side
+    pays a full shuffle WRITE even when AQE later converts the join
+    (conversion reuses the already-staged shuffle). An explicit
+    broadcast of the byte-small pair side keeps the first payload attach
+    entirely map-side: the payload table is scanned, never shuffled.
+    Above the row cap (pairs scale with corpus at 10^12 docs) the hint
+    is withheld and the join stays sort-merge — the distributed path.
+    Returns (frame, n_pairs)."""
+    pairs = pairs.localCheckpoint(eager=True)
+    n = pairs.count()
+    return (F.broadcast(pairs) if n <= broadcast_max_rows else pairs), n
+
+
 def lsh_band_keys(
     df: DataFrame,
     cfg: DedupConfig = DEFAULT,

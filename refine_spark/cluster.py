@@ -18,39 +18,57 @@ vertex cannot hot-spot one reducer at 10^12-doc scale.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from .config import DedupConfig, DEFAULT
 
 
+def _numpy_min_label(src: np.ndarray, dst: np.ndarray):
+    """Vectorized connected components on the driver: (ids, labels) with
+    label = MIN vertex id per component (same determinism contract as
+    the distributed min-label loop). Hook-and-compress over dense
+    indices — every step is a C-level numpy scatter/gather, replacing
+    the round-3 per-edge Python dict loop that was a multi-second
+    SERIAL chunk in both scaling legs (pure Amdahl drag; profiled 6.6 s
+    at 800k docs in the 8-wide leg)."""
+    both = np.concatenate([src, dst])
+    ids, inv = np.unique(both, return_inverse=True)  # sorted: index-min == id-min
+    s, d = inv[: len(src)], inv[len(src):]
+    parent = np.arange(len(ids), dtype=np.int64)
+    while True:
+        before = parent
+        p = parent.copy()
+        # hook: each edge pulls both endpoints to the smaller label
+        np.minimum.at(p, s, parent[d])
+        np.minimum.at(p, d, parent[s])
+        # full pointer-jumping compression
+        while True:
+            pp = p[p]
+            if np.array_equal(pp, p):
+                break
+            p = pp
+        parent = p
+        if np.array_equal(parent, before):
+            break
+    return ids, ids[parent]
+
+
 def _driver_union_find(edges_pdf: pd.DataFrame, id_col: str, spark):
-    """Union-find over a collected edge frame. The adaptive fast path for
-    edge sets that fit the driver comfortably — near-dup edge sets are
-    sparse relative to the corpus, and below the cutover the distributed
-    loop's per-iteration job latency dwarfs the actual work. Transfer is
-    Arrow both ways (toPandas in, pandas createDataFrame out) — the
-    pickled-list path is 10-50x slower at this row count."""
-    parent: dict[str, str] = {}
-
-    def find(x: str) -> str:
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != root:
-            parent[x], x = root, parent[x]
-        return root
-
-    for src, dst in zip(edges_pdf["src"].to_numpy(), edges_pdf["dst"].to_numpy()):
-        parent.setdefault(src, src)
-        parent.setdefault(dst, dst)
-        ra, rb = find(src), find(dst)
-        if ra != rb:
-            # min-id root keeps cluster ids deterministic
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-    keys = list(parent)
-    out = pd.DataFrame({id_col: keys, "cluster_id": [find(k) for k in keys]})
+    """Connected components over a collected edge frame. The adaptive
+    fast path for edge sets that fit the driver comfortably — near-dup
+    edge sets are sparse relative to the corpus, and below the cutover
+    the distributed loop's per-iteration job latency dwarfs the actual
+    work. Transfer is Arrow both ways; the labeling itself is the
+    vectorized hook-and-compress above."""
+    ids, labels = _numpy_min_label(
+        edges_pdf["src"].to_numpy(), edges_pdf["dst"].to_numpy()
+    )
+    if len(ids) == 0:  # empty edge set: typed empty frame (no inference)
+        t = "long" if pd.api.types.is_integer_dtype(edges_pdf["src"]) else "string"
+        return spark.createDataFrame([], f"{id_col} {t}, cluster_id {t}")
+    out = pd.DataFrame({id_col: ids, "cluster_id": labels})
     return spark.createDataFrame(out)
 
 
@@ -279,46 +297,30 @@ def _name_pass_driver(name_edges: DataFrame, named: DataFrame, id_col: str = "ur
     )
     name_of = dict(zip(names_pdf[id_col], names_pdf["cleaned_name"]))
 
-    parent: dict[str, str] = {}
-
-    def find(x: str) -> str:
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != root:
-            parent[x], x = root, parent[x]
-        return root
-
-    for s, d in zip(epdf["src"], epdf["dst"]):
-        parent.setdefault(s, s)
-        parent.setdefault(d, d)
-        ra, rb = find(s), find(d)
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-
-    members: dict[str, list[str]] = {}
-    for u in parent:
-        members.setdefault(find(u), []).append(u)
+    # vectorized components + pandas group reductions (the dict loops of
+    # rounds 1-3 were serial seconds at 800k docs — Amdahl drag on the
+    # scaling legs)
+    src_arr, dst_arr = epdf["src"].to_numpy(), epdf["dst"].to_numpy()
+    ids, labels = _numpy_min_label(src_arr, dst_arr)
+    root_of = dict(zip(ids, labels))
+    members_by_root = pd.Series(ids).groupby(pd.Series(labels)).agg(list)
 
     sequential_roots = {
         root
-        for root, us in members.items()
+        for root, us in members_by_root.items()
         if len(us) > 1
         and is_likely_sequential([name_of.get(u, "") for u in us])
     }
     # per-cluster edge stats over accepted edges
-    sums: dict[str, float] = {}
-    counts: dict[str, int] = {}
-    for s, sim in zip(epdf["src"], epdf["sim"]):
-        r = find(s)
-        sums[r] = sums.get(r, 0.0) + sim
-        counts[r] = counts.get(r, 0) + 1
+    edge_root = pd.Series(src_arr).map(root_of)
+    grp = epdf["sim"].groupby(edge_root)
+    sums = grp.sum().to_dict()
+    counts = grp.size().to_dict()
 
     rows = [
         (u, root, sums.get(root, 0.0) / max(1, counts.get(root, 0)),
          counts.get(root, 0), len(us))
-        for root, us in members.items()
+        for root, us in members_by_root.items()
         if root not in sequential_roots and len(us) > 1
         for u in us
     ]
@@ -335,14 +337,14 @@ def _name_pass_driver(name_edges: DataFrame, named: DataFrame, id_col: str = "ur
              "cluster_size": pd.Series(dtype="int64")}
         )
     )
-    keep_mask = [find(s) not in sequential_roots for s in epdf["src"]]
-    surv_pdf = epdf[pd.Series(keep_mask, index=epdf.index)].assign(pass_name="name")
-    surviving = spark.createDataFrame(
-        surv_pdf
+    keep_mask = ~edge_root.isin(sequential_roots).to_numpy()
+    surv_pdf = epdf[keep_mask].assign(pass_name="name")
+    id_t = "bigint" if pd.api.types.is_integer_dtype(epdf["src"]) else "string"
+    surviving = (
+        spark.createDataFrame(surv_pdf)
         if len(surv_pdf)
-        else pd.DataFrame(
-            {"src": pd.Series(dtype="str"), "dst": pd.Series(dtype="str"),
-             "sim": pd.Series(dtype="float64"), "pass_name": pd.Series(dtype="str")}
+        else spark.createDataFrame(
+            [], f"src {id_t}, dst {id_t}, sim double, pass_name string"
         )
     )
     return clusters, surviving

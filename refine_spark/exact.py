@@ -65,14 +65,19 @@ def exact_dup_groups(
     string for standalone queries, the int64 doc_id on the pipeline hot
     path (8-byte shuffle keys instead of full urls).
     """
-    sampled = with_size_kind(docs).select(
-        id_col,
-        "size",
-        "kind",
-        F.sha2(
-            three_point_sample(F.col("html"), cfg.sample_kb * 1024), 256
-        ).alias("sample_hash"),
-    )
+    if "sample_hash" in docs.columns:
+        # prepared frames (pipeline.prepare) carry the hash precomputed
+        # so the html payload could be dropped before the base checkpoint
+        sampled = docs.select(id_col, "size", "kind", "sample_hash")
+    else:
+        sampled = with_size_kind(docs).select(
+            id_col,
+            "size",
+            "kind",
+            F.sha2(
+                three_point_sample(F.col("html"), cfg.sample_kb * 1024), 256
+            ).alias("sample_hash"),
+        )
     wg = W.partitionBy("size", "kind", "sample_hash")
     return (
         sampled.withColumn("group_size", F.count(F.lit(1)).over(wg))

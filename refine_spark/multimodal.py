@@ -19,7 +19,13 @@ Codec status (round 2 — no longer stubbed):
        extension skipping, interlace, full variable-width LZW with the
        deferred-clear quirk) and single-frame encode (exact for <=256
        distinct colors) — round 3.
-  other formats (jpeg/mp3/mp4...) need codec libraries this container
+  JPEG REAL baseline-DCT decode (T.81 SOF0/SOF1: Huffman scans, DQT/DHT
+       parsing, arbitrary chroma sampling with replication upsample,
+       restart markers, byte unstuffing) plus a minimal spec-compliant
+       4:4:4 flat-quant encoder as the in-sandbox round-trip partner —
+       round 4. Progressive (SOF2) / arithmetic / 12-bit raise
+       NotImplementedError.
+  other formats (mp3/mp4...) need codec libraries this container
        does not ship: decode raises NotImplementedError unless
        `deterministic_fake=True` (seed-stable fake features so pipelines
        exercise end-to-end).
@@ -427,6 +433,369 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 # --------------------------------------------------------------------------
 
 
+# --------------------------------------------------------------------------
+# JPEG codec (baseline JFIF, pure stdlib + numpy) — round 4
+# --------------------------------------------------------------------------
+
+# ITU-T T.81 Figure A.6 zigzag scan: scan index i -> raster position
+_JPEG_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63], dtype=np.int64)
+
+# orthonormal 8-point DCT-II matrix: FDCT Y = C X C^T, IDCT X = C^T Y C
+_DCT_C = np.array([
+    [(np.sqrt(1.0 / 8) if k == 0 else 0.5) * np.cos((2 * n + 1) * k * np.pi / 16)
+     for n in range(8)]
+    for k in range(8)
+])
+
+
+def _jpeg_huff_codes(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
+    """Canonical Huffman map (length, code) -> symbol per T.81 Annex C."""
+    codes: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return codes
+
+
+class _JpegBits:
+    """MSB-first bit reader over one entropy-coded segment (already
+    unstuffed). Raises on exhaustion — decode_features wraps it."""
+
+    def __init__(self, data: bytes):
+        self.data, self.pos, self.acc, self.n = data, 0, 0, 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self.acc = self.data[self.pos]  # IndexError -> malformed
+            self.pos += 1
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, count: int) -> int:
+        v = 0
+        for _ in range(count):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, size: int) -> int:
+    """RECEIVE/EXTEND (T.81 F.2.2.1): map `size`-bit magnitude to signed."""
+    return v - ((1 << size) - 1) if size and v < (1 << (size - 1)) else v
+
+
+def _jpeg_entropy_segments(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Unstuff the scan's entropy bytes; split at RSTn markers. Returns
+    (segments, position of the terminating marker's 0xFF)."""
+    segs, cur = [], bytearray()
+    n = len(data)
+    while pos < n - 1:
+        b = data[pos]
+        if b != 0xFF:
+            cur.append(b)
+            pos += 1
+            continue
+        nxt = data[pos + 1]
+        if nxt == 0x00:  # stuffed literal 0xFF
+            cur.append(0xFF)
+            pos += 2
+        elif 0xD0 <= nxt <= 0xD7:  # restart marker
+            segs.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        else:
+            break
+    segs.append(bytes(cur))
+    return segs, pos
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline-DCT JFIF decoder, pure stdlib+numpy (T.81 sections A/F):
+    8-bit sequential Huffman scans (SOF0/SOF1), grayscale or YCbCr with
+    arbitrary sampling factors (replication upsample), restart markers,
+    byte unstuffing. Progressive (SOF2) / arithmetic / 12-bit raise
+    NotImplementedError. Returns HxW (gray) or HxWx3 RGB uint8."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream (missing SOI)")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> table
+    frame = None
+    restart_interval = 0
+    scan = None
+    while pos < len(payload) - 1:
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        m = payload[pos + 1]
+        pos += 2
+        if m == 0xD9:  # EOI
+            break
+        if m in (0x01,) or 0xD0 <= m <= 0xD7:  # parameterless
+            continue
+        seglen = struct.unpack(">H", payload[pos:pos + 2])[0]
+        seg = payload[pos + 2:pos + seglen]
+        body_end = pos + seglen
+        if m == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                prec, tid = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if prec:  # 16-bit table
+                    qts[tid] = np.frombuffer(
+                        seg[i:i + 128], dtype=">u2"
+                    ).astype(np.float64)
+                    i += 128
+                else:
+                    qts[tid] = np.frombuffer(
+                        seg[i:i + 64], dtype=np.uint8
+                    ).astype(np.float64)
+                    i += 64
+        elif m in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended sequential
+            precision, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if precision != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (h, w, comps)
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                   0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline/extended-sequential Huffman JPEG supported"
+            )
+        elif m == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                bits = list(seg[i + 1:i + 17])
+                nvals = sum(bits)
+                vals = seg[i + 17:i + 17 + nvals]
+                huff[(tc, th)] = _jpeg_huff_codes(bits, vals)
+                i += 17 + nvals
+        elif m == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif m == 0xDA:  # SOS: entropy-coded data follows the header
+            ns = seg[0]
+            scan = [(seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
+                    for c in range(ns)]
+            segs, pos = _jpeg_entropy_segments(payload, body_end)
+            break
+        pos = body_end
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = {
+        cid: np.zeros((mcus_y * cv * 8, mcus_x * ch * 8), dtype=np.float64)
+        for cid, ch, cv, _ in comps
+    }
+    tables = {cid: (huff[(0, td)], huff[(1, ta)]) for cid, td, ta in scan}
+    dc_pred = {cid: 0 for cid, _, _, _ in comps}
+    reader = _JpegBits(segs[0])
+    seg_idx = 0
+    for mcu in range(mcus_x * mcus_y):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            seg_idx += 1  # restart: new segment, predictors reset
+            reader = _JpegBits(segs[seg_idx])
+            dc_pred = {cid: 0 for cid in dc_pred}
+        my, mx = divmod(mcu, mcus_x)
+        for cid, ch, cv, tq in comps:
+            dc_t, ac_t = tables[cid]
+            qt = qts[tq]
+            for by in range(cv):
+                for bx in range(ch):
+                    zz = np.zeros(64, dtype=np.float64)
+                    size = reader.huff(dc_t)
+                    dc_pred[cid] += _jpeg_extend(reader.bits(size), size)
+                    zz[0] = dc_pred[cid]
+                    k = 1
+                    while k < 64:
+                        rs = reader.huff(ac_t)
+                        run, size = rs >> 4, rs & 15
+                        if size == 0:
+                            if run == 15:  # ZRL: skip 16 zeros
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += run
+                        zz[k] = _jpeg_extend(reader.bits(size), size)
+                        k += 1
+                    block = np.zeros(64, dtype=np.float64)
+                    block[_JPEG_ZIGZAG] = zz * qt
+                    spatial = _DCT_C.T @ block.reshape(8, 8) @ _DCT_C
+                    y0, x0 = (my * cv + by) * 8, (mx * ch + bx) * 8
+                    planes[cid][y0:y0 + 8, x0:x0 + 8] = spatial + 128.0
+    out = []
+    for cid, ch, cv, _ in comps:
+        p = np.repeat(np.repeat(planes[cid], vmax // cv, 0), hmax // ch, 1)
+        out.append(p[:h, :w])
+    if len(out) == 1:
+        return np.clip(np.rint(out[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=-1,
+    )
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+# encoder-side fixed tables: simple canonical codes (valid, incomplete —
+# like the Annex K standard tables, unused codewords are simply absent).
+# DC: sizes 0..11 at 4 bits; AC: EOB, ZRL and (run 0-15, size 1-11) at
+# 8 bits (178 <= 256). Tables are WRITTEN INTO the stream via DHT, so any
+# spec-compliant decoder (including decode_jpeg above) reads them back.
+_ENC_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_ENC_DC_VALS = bytes(range(12))
+_ENC_AC_VALS = bytes(
+    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 12)]
+)
+_ENC_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_ENC_AC_VALS)] + [0] * 8
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc, self.n = 0, 0
+
+    def write(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc, self.n = 0, 0
+
+    def pad(self) -> None:
+        """1-pad to a byte boundary (before a restart marker)."""
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)
+
+    def marker(self, m: int) -> None:
+        """Emit a raw (unstuffed) marker at a byte boundary."""
+        self.pad()
+        self.out.extend((0xFF, m))
+
+    def flush(self) -> bytes:
+        self.pad()
+        return bytes(self.out)
+
+
+def _jpeg_mag(v: int) -> tuple[int, int]:
+    """(size, size-bit code) for a signed coefficient (F.1.2.1.1)."""
+    size = int(abs(v)).bit_length()
+    return size, (v if v >= 0 else v + (1 << size) - 1) & ((1 << size) - 1)
+
+
+def encode_jpeg(pixels: np.ndarray, restart_interval: int = 0) -> bytes:
+    """Minimal spec-compliant baseline encoder: 4:4:4 (or grayscale),
+    flat quantization (all ones — near-lossless, only DCT rounding), the
+    fixed canonical Huffman tables above. restart_interval > 0 writes a
+    DRI segment and RSTn markers every N MCUs (exercises the decoder's
+    restart machinery). Exists so the decoder has a real in-sandbox
+    round-trip partner (no codec libs ship here); output opens in any
+    JPEG viewer."""
+    if pixels.ndim == 2:
+        planes = [pixels.astype(np.float64)]
+    else:
+        r, g, b = (pixels[..., i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    h, w = planes[0].shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    planes = [
+        np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
+        for p in planes
+    ]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body)
+
+    seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # DQT id0, flat
+    nc = len(planes)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
+    for c in range(nc):
+        sof += bytes([c + 1, 0x11, 0])  # h=v=1, quant table 0
+    seg(0xC0, sof)
+    seg(0xC4, bytes([0x00]) + bytes(_ENC_DC_BITS) + _ENC_DC_VALS)
+    seg(0xC4, bytes([0x10]) + bytes(_ENC_AC_BITS) + _ENC_AC_VALS)
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([nc])
+    for c in range(nc):
+        sos += bytes([c + 1, 0x00])
+    seg(0xDA, sos + bytes([0, 63, 0]))
+
+    ac_code = {sym: i for i, sym in enumerate(_ENC_AC_VALS)}
+    wtr = _JpegBitWriter()
+    dc_pred = [0] * nc
+    mcu = 0
+    for my in range(ph // 8):
+        for mx in range(pw // 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                wtr.marker(0xD0 + ((mcu // restart_interval - 1) % 8))
+                dc_pred = [0] * nc
+            mcu += 1
+            for c, plane in enumerate(planes):
+                block = plane[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8]
+                coefs = _DCT_C @ block @ _DCT_C.T
+                zz = np.rint(coefs.reshape(64)[_JPEG_ZIGZAG]).astype(np.int64)
+                diff = int(zz[0]) - dc_pred[c]
+                dc_pred[c] = int(zz[0])
+                size, code = _jpeg_mag(diff)
+                wtr.write(size, 4)  # DC huffman: symbol s at code s, len 4
+                if size:
+                    wtr.write(code, size)
+                nz = np.nonzero(zz[1:])[0]
+                k = 0  # position after the last coded coefficient (1-based-1)
+                for idx in nz:
+                    run = int(idx) - k
+                    while run > 15:
+                        wtr.write(ac_code[0xF0], 8)  # ZRL
+                        run -= 16
+                    size, code = _jpeg_mag(int(zz[idx + 1]))
+                    wtr.write(ac_code[(run << 4) | size], 8)
+                    wtr.write(code, size)
+                    k = int(idx) + 1
+                if k < 63:
+                    wtr.write(ac_code[0x00], 8)  # EOB
+    out.extend(wtr.flush())
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
+
+
 def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     """Deterministic stand-in for formats without a sandbox codec:
     features derive solely from the payload hash (stable across runs)."""
@@ -475,6 +844,8 @@ def decode_features(payload: bytes, kind: str) -> list[float]:
             return _image_features(decode_bmp(payload))
         if kind == "image" and payload[:6] in (b"GIF87a", b"GIF89a"):
             return _image_features(decode_gif(payload))
+        if kind == "image" and payload[:2] == b"\xff\xd8":
+            return _image_features(decode_jpeg(payload))
         if (
             kind == "audio"
             and payload[:4] == b"RIFF"
@@ -542,9 +913,11 @@ def frame_sample(media: DataFrame, n_frames: int = 3) -> DataFrame:
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """REAL resize for PNG payloads: decode -> nearest-neighbor resample
-    -> re-encode, Arrow-batched; meta dims updated. Non-PNG payloads pass
-    through unchanged (their meta is not rewritten either)."""
+    """REAL resize for PNG/JPEG payloads: decode -> nearest-neighbor
+    resample -> re-encode, Arrow-batched; meta dims updated. Other
+    payloads pass through unchanged (their meta is not rewritten either).
+    JPEG re-encodes with the flat-quant baseline encoder (lossy input,
+    near-lossless re-encode)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -554,6 +927,11 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                 if b[:8] == _PNG_MAGIC:
                     px = resize_nearest(decode_png(b), width, height)
                     out_payload.append(encode_png(px))
+                    out_w.append(width)
+                    out_h.append(height)
+                elif b[:2] == b"\xff\xd8":
+                    px = resize_nearest(decode_jpeg(b), width, height)
+                    out_payload.append(encode_jpeg(px))
                     out_w.append(width)
                     out_h.append(height)
                 else:

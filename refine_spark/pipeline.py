@@ -21,7 +21,7 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .candidates import lsh_candidates, lsh_cap_stats
+from .candidates import lsh_candidates, lsh_cap_stats, materialize_pairs
 from .clean import with_cleaned_name
 from .cluster import cluster_stats, connected_components, name_pass_clusters
 from .config import DedupConfig, DEFAULT
@@ -38,11 +38,29 @@ def minhash_edges(
 ) -> DataFrame:
     """LSH candidates verified by the signature-estimated Jaccard — pure
     JVM expression over the two signatures (no text shuffle, no UDF):
-    est = |matching positions| / num_perm."""
+    est = |matching positions| / num_perm.
+
+    Verify-join cost model (round 4): the candidate-pair side is
+    byte-small (two int64s) while each signature row is ~1 KB
+    (num_perm longs) — broadcasting the pairs keeps the first signature
+    attach map-side (signatures scanned, not shuffled), and the
+    positions compare on int32 VIEWS of the signature (cast truncation),
+    halving the bytes of the remaining shuffle. Position equality on the
+    low 32 bits is the same unbiased Jaccard estimator with a 2^-32
+    false-equality term per position — invisible next to the estimator's
+    own 1/sqrt(num_perm) noise. The stored signatures stay full-width
+    (banding and any external consumer see unchanged values)."""
     cands = lsh_candidates(docs_with_sig, cfg, id_col=id_col)
-    sigs = docs_with_sig.select(id_col, "minhash")
-    a = sigs.select(F.col(id_col).alias("src"), F.col("minhash").alias("sig_a"))
-    b = sigs.select(F.col(id_col).alias("dst"), F.col("minhash").alias("sig_b"))
+    cands, _ = materialize_pairs(cands)
+    # low-32-bit bijection into int range (ANSI mode rejects a plain
+    # overflowing cast): equality of views == equality of low 32 bits
+    sig32 = F.transform(
+        "minhash",
+        lambda x: (x.bitwiseAND(F.lit(0xFFFFFFFF)) - F.lit(1 << 31)).cast("int"),
+    )
+    sigs = docs_with_sig.select(id_col, sig32.alias("sig32"))
+    a = sigs.select(F.col(id_col).alias("src"), F.col("sig32").alias("sig_a"))
+    b = sigs.select(F.col(id_col).alias("dst"), F.col("sig32").alias("sig_b"))
     est = (
         F.size(
             F.filter(
@@ -98,7 +116,19 @@ def prepare(docs: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
     id (monotonically_increasing_id over the deduped url set, persisted)
     — `verify_doc_ids` checks the premise either way."""
     base = with_cleaned_name(with_size_kind(with_identity_columns(docs)))
-    return base.withColumn("doc_id", F.xxhash64("url"))
+    base = base.withColumn("doc_id", F.xxhash64("url"))
+    if "html" in base.columns:
+        # compute the exact pass's 3-point sample hash NOW and drop the
+        # html payload: it is the dominant byte weight of the corpus and
+        # nothing downstream needs it — keeping it would make the base
+        # localCheckpoint (which every pass re-reads) a payload copy
+        from .exact import three_point_sample
+
+        base = base.withColumn(
+            "sample_hash",
+            F.sha2(three_point_sample(F.col("html"), cfg.sample_kb * 1024), 256),
+        ).drop("html")
+    return base
 
 
 def verify_doc_ids(base: DataFrame) -> None:

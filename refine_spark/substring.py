@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from .config import DedupConfig, DEFAULT
-from .candidates import _pairs_from_buckets
+from .candidates import _pairs_from_buckets, materialize_pairs
 
 _B = np.uint64(1000003)  # polynomial rolling-hash base (wraparound mod 2^64)
 _B_INV = np.uint64(pow(int(_B), -1, 1 << 64))  # B is odd -> invertible mod 2^64
@@ -126,6 +126,10 @@ def substring_edges(
         .select("src", "dst")
         .dropDuplicates(["src", "dst"])
     )
+    # candidate pairs are two ints; texts are the fat payload — a
+    # broadcast-hinted pair side keeps the first text attach map-side
+    # (byte-gated; falls back to sort-merge at corpus-scale pair counts)
+    pairs, _ = materialize_pairs(pairs)
     texts = docs.select(id_col, "text")
     a = texts.select(F.col(id_col).alias("src"), F.col("text").alias("text_a"))
     b = texts.select(F.col(id_col).alias("dst"), F.col("text").alias("text_b"))

@@ -167,7 +167,7 @@ def test_decode_features_exception_contract():
         ("audio", b"RIFF fake wav" * 30),            # RIFF but not WAVE
         ("audio", b"RIFF\x00\x00\x00\x00WAVEjunk"),  # RIFF/WAVE, bad body
         ("image", _PNG_MAGIC + b"garbage-not-chunks"),
-        ("image", b"\xff\xd8\xff\xe0 jpeg-ish"),     # unsupported format
+        ("image", b"\xff\xd8\xff\xe0 jpeg-ish"),     # malformed JPEG (r4: real codec)
         ("video", b"\x00\x00\x00\x18ftypmp42"),
         ("audio", b""),
         ("image", b""),
@@ -494,3 +494,50 @@ def test_multitable_bucketing_fused_single_pass(spark):
         banded.explain("formatted")
     n_py = len(re.findall(r"\(\d+\) ArrowEvalPython", buf.getvalue()))
     assert n_py == 1, buf.getvalue()
+
+def test_jpeg_codec():
+    """Baseline JPEG (round 4): encode->decode round-trips within DCT
+    rounding (flat quant), for RGB/gray/odd sizes/flat color, with and
+    without restart markers; non-baseline frames and truncated scans
+    raise NotImplementedError through decode_features."""
+    import numpy as np
+
+    from refine_spark.multimodal import (
+        decode_features, decode_jpeg, encode_jpeg,
+    )
+
+    rng = np.random.RandomState(9)
+
+    def err(a, b):
+        return int(np.abs(a.astype(int) - b.astype(int)).max())
+
+    rgb = rng.randint(0, 256, (21, 34, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(rgb))
+    assert out.shape == rgb.shape and err(out, rgb) <= 3
+
+    gray = rng.randint(0, 256, (16, 9), dtype=np.uint8)
+    assert err(decode_jpeg(encode_jpeg(gray)), gray) <= 3
+
+    flat = np.full((8, 8, 3), 77, dtype=np.uint8)
+    assert err(decode_jpeg(encode_jpeg(flat)), flat) == 0
+
+    # restart markers: DRI written, RSTn consumed, predictors reset
+    dri = encode_jpeg(rgb, restart_interval=2)
+    assert b"\xff\xdd" in dri and b"\xff\xd0" in dri
+    assert err(decode_jpeg(dri), rgb) <= 3
+
+    # features flow through the real decoder (dims are features 0/1)
+    feats = decode_features(encode_jpeg(rgb), "image")
+    assert feats[0] == 21.0 and feats[1] == 34.0
+
+    # progressive (SOF2) refused, not mis-decoded
+    prog = bytearray(encode_jpeg(rgb))
+    i = prog.index(b"\xff\xc0")
+    prog[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_features(bytes(prog), "image")
+
+    # truncated entropy segment -> wrapped NotImplementedError
+    trunc = encode_jpeg(rgb)[:-40]
+    with pytest.raises(NotImplementedError):
+        decode_features(trunc, "image")
