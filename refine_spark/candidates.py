@@ -71,6 +71,9 @@ def _pairs_from_buckets(
     )
     buckets = cold_buckets.unionByName(hot_buckets)
     # all i<j combinations, generated JVM-side with higher-order functions
+    # (bucket sizes are cap-bounded, so per-row explode cost is bounded;
+    # profiling showed an extra repartition here costs more than the
+    # skew it would spread)
     pairs = buckets.select(
         F.col("capped"),
         F.explode(

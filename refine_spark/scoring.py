@@ -25,7 +25,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from .config import DedupConfig, DEFAULT
-from .candidates import materialize_pairs
 
 
 def _sorensen_dice(a: str, b: str) -> float:
@@ -284,10 +283,6 @@ def _score_pairs_with_weights(
     side = named.select(id_col, "kind").join(tokw, id_col).localCheckpoint(eager=True)
     a = side.select(*[F.col(c).alias(f"{c}_a") for c in side.columns])
     b = side.select(*[F.col(c).alias(f"{c}_b") for c in side.columns])
-    # pair side is two ints; the token-weight sides are wide arrays — a
-    # byte-gated broadcast keeps the first attach map-side (see
-    # candidates.materialize_pairs)
-    pairs, _ = materialize_pairs(pairs.select("src", "dst"))
     joined = (
         pairs.join(a, pairs.src == a[f"{id_col}_a"])
         .join(b, pairs.dst == b[f"{id_col}_b"])

@@ -284,3 +284,35 @@ def test_edge_passes_shuffle_int_ids_not_urls(spark):
             if re.match(r"\s*\(\d+\) Exchange", section):
                 assert "url#" not in section, (pass_name, section)
                 assert "html#" not in section, (pass_name, section)
+
+def test_minhash_verify_join_broadcasts_pairs(spark):
+    """Round-4 cost-model guard: with a small candidate-pair set, the
+    signature verify join must broadcast the pair side (payload table
+    scanned, not shuffled) and compare int32 signature views. Above the
+    row cap materialize_pairs withholds the hint (corpus-scale path) —
+    exercised by passing a tiny cap through the helper directly."""
+    import contextlib
+    import io
+
+    from refine_spark.candidates import materialize_pairs
+    from refine_spark.pipeline import minhash_edges, prepare
+    from refine_spark.signatures import with_signatures
+
+    docs, _ = synth.to_spark(spark, n_docs=80)
+    base = prepare(docs).localCheckpoint()
+    signed = with_signatures(base.select("doc_id", "text")).localCheckpoint()
+    edges = minhash_edges(signed, id_col="doc_id")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        edges.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan, plan
+
+    # the gate: above the row cap the hint is withheld (the logical plan
+    # carries no ResolvedHint), below it the hint is present
+    pairs = spark.range(10).selectExpr("id as src", "id + 1 as dst")
+    over, n_over = materialize_pairs(pairs, broadcast_max_rows=5)
+    under, n_under = materialize_pairs(pairs, broadcast_max_rows=50)
+    assert n_over == 10 and n_under == 10
+    assert "hint" not in over._jdf.queryExecution().logical().toString().lower()
+    assert "hint" in under._jdf.queryExecution().logical().toString().lower()
