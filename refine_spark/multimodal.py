@@ -714,14 +714,18 @@ def _jpeg_mag(v: int) -> tuple[int, int]:
     return size, (v if v >= 0 else v + (1 << size) - 1) & ((1 << size) - 1)
 
 
-def encode_jpeg(pixels: np.ndarray, restart_interval: int = 0) -> bytes:
-    """Minimal spec-compliant baseline encoder: 4:4:4 (or grayscale),
-    flat quantization (all ones — near-lossless, only DCT rounding), the
-    fixed canonical Huffman tables above. restart_interval > 0 writes a
-    DRI segment and RSTn markers every N MCUs (exercises the decoder's
-    restart machinery). Exists so the decoder has a real in-sandbox
-    round-trip partner (no codec libs ship here); output opens in any
-    JPEG viewer."""
+def encode_jpeg(
+    pixels: np.ndarray, restart_interval: int = 0, subsample: bool = False
+) -> bytes:
+    """Minimal spec-compliant baseline encoder: grayscale, 4:4:4, or
+    4:2:0 (subsample=True: luma 2x2 sampling factors, chroma 2x2
+    block-mean downsampled — exercises the decoder's multi-block MCU
+    interleave + replication upsample). Flat quantization (all ones —
+    near-lossless at 4:4:4, only DCT rounding), the fixed canonical
+    Huffman tables above. restart_interval > 0 writes a DRI segment and
+    RSTn markers every N MCUs. Exists so the decoder has a real
+    in-sandbox round-trip partner (no codec libs ship here); output
+    opens in any JPEG viewer."""
     if pixels.ndim == 2:
         planes = [pixels.astype(np.float64)]
     else:
@@ -732,11 +736,27 @@ def encode_jpeg(pixels: np.ndarray, restart_interval: int = 0) -> bytes:
             128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
         ]
     h, w = planes[0].shape
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    nc = len(planes)
+    if nc == 3 and subsample:
+        factors = [(2, 2), (1, 1), (1, 1)]
+    else:
+        factors = [(1, 1)] * nc
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    # pad the full-res image so every component tiles exactly into MCUs
+    ph = -(-h // (8 * vmax)) * 8 * vmax
+    pw = -(-w // (8 * hmax)) * 8 * hmax
     planes = [
-        np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
-        for p in planes
+        np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in planes
     ]
+    comp_planes = []
+    for p, (ch, cv) in zip(planes, factors):
+        if (ch, cv) != (hmax, vmax):  # downsample by block mean
+            fy, fx = vmax // cv, hmax // ch
+            p = p.reshape(p.shape[0] // fy, fy, p.shape[1] // fx, fx).mean(
+                axis=(1, 3)
+            )
+        comp_planes.append(p - 128.0)
 
     out = bytearray(b"\xff\xd8")  # SOI
 
@@ -744,10 +764,9 @@ def encode_jpeg(pixels: np.ndarray, restart_interval: int = 0) -> bytes:
         out.extend(bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body)
 
     seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # DQT id0, flat
-    nc = len(planes)
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nc])
-    for c in range(nc):
-        sof += bytes([c + 1, 0x11, 0])  # h=v=1, quant table 0
+    for c, (ch, cv) in enumerate(factors):
+        sof += bytes([c + 1, (ch << 4) | cv, 0])  # quant table 0
     seg(0xC0, sof)
     seg(0xC4, bytes([0x00]) + bytes(_ENC_DC_BITS) + _ENC_DC_VALS)
     seg(0xC4, bytes([0x10]) + bytes(_ENC_AC_BITS) + _ENC_AC_VALS)
@@ -761,36 +780,45 @@ def encode_jpeg(pixels: np.ndarray, restart_interval: int = 0) -> bytes:
     ac_code = {sym: i for i, sym in enumerate(_ENC_AC_VALS)}
     wtr = _JpegBitWriter()
     dc_pred = [0] * nc
+
+    def emit_block(c: int, plane: np.ndarray, by8: int, bx8: int) -> None:
+        block = plane[by8:by8 + 8, bx8:bx8 + 8]
+        coefs = _DCT_C @ block @ _DCT_C.T
+        zz = np.rint(coefs.reshape(64)[_JPEG_ZIGZAG]).astype(np.int64)
+        diff = int(zz[0]) - dc_pred[c]
+        dc_pred[c] = int(zz[0])
+        size, code = _jpeg_mag(diff)
+        wtr.write(size, 4)  # DC huffman: symbol s at code s, len 4
+        if size:
+            wtr.write(code, size)
+        nz = np.nonzero(zz[1:])[0]
+        k = 0  # position after the last coded coefficient (1-based-1)
+        for idx in nz:
+            run = int(idx) - k
+            while run > 15:
+                wtr.write(ac_code[0xF0], 8)  # ZRL
+                run -= 16
+            size, code = _jpeg_mag(int(zz[idx + 1]))
+            wtr.write(ac_code[(run << 4) | size], 8)
+            wtr.write(code, size)
+            k = int(idx) + 1
+        if k < 63:
+            wtr.write(ac_code[0x00], 8)  # EOB
+
+    mcus_y, mcus_x = ph // (8 * vmax), pw // (8 * hmax)
     mcu = 0
-    for my in range(ph // 8):
-        for mx in range(pw // 8):
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 wtr.marker(0xD0 + ((mcu // restart_interval - 1) % 8))
                 dc_pred = [0] * nc
             mcu += 1
-            for c, plane in enumerate(planes):
-                block = plane[my * 8:(my + 1) * 8, mx * 8:(mx + 1) * 8]
-                coefs = _DCT_C @ block @ _DCT_C.T
-                zz = np.rint(coefs.reshape(64)[_JPEG_ZIGZAG]).astype(np.int64)
-                diff = int(zz[0]) - dc_pred[c]
-                dc_pred[c] = int(zz[0])
-                size, code = _jpeg_mag(diff)
-                wtr.write(size, 4)  # DC huffman: symbol s at code s, len 4
-                if size:
-                    wtr.write(code, size)
-                nz = np.nonzero(zz[1:])[0]
-                k = 0  # position after the last coded coefficient (1-based-1)
-                for idx in nz:
-                    run = int(idx) - k
-                    while run > 15:
-                        wtr.write(ac_code[0xF0], 8)  # ZRL
-                        run -= 16
-                    size, code = _jpeg_mag(int(zz[idx + 1]))
-                    wtr.write(ac_code[(run << 4) | size], 8)
-                    wtr.write(code, size)
-                    k = int(idx) + 1
-                if k < 63:
-                    wtr.write(ac_code[0x00], 8)  # EOB
+            for c, (plane, (ch, cv)) in enumerate(zip(comp_planes, factors)):
+                for by in range(cv):
+                    for bx in range(ch):
+                        emit_block(
+                            c, plane, (my * cv + by) * 8, (mx * ch + bx) * 8
+                        )
     out.extend(wtr.flush())
     out.extend(b"\xff\xd9")  # EOI
     return bytes(out)

@@ -541,3 +541,29 @@ def test_jpeg_codec():
     trunc = encode_jpeg(rgb)[:-40]
     with pytest.raises(NotImplementedError):
         decode_features(trunc, "image")
+
+def test_jpeg_420_subsampling():
+    """4:2:0 encode (luma 2x2 factors, block-mean chroma) drives the
+    decoder's multi-block MCU interleave and replication upsample —
+    flat color round-trips exactly; smooth gradients stay within the
+    chroma-pooling error; restart markers compose with subsampling."""
+    import numpy as np
+
+    from refine_spark.multimodal import decode_jpeg, encode_jpeg
+
+    def err(a, b):
+        return int(np.abs(a.astype(int) - b.astype(int)).max())
+
+    flat = np.full((24, 40, 3), 130, dtype=np.uint8)
+    assert err(decode_jpeg(encode_jpeg(flat, subsample=True)), flat) == 0
+
+    yy, xx = np.mgrid[0:33, 0:50]
+    grad = np.stack(
+        [np.clip(yy * 3, 0, 255), np.clip(xx * 2, 0, 255),
+         np.full_like(yy, 90)], axis=-1,
+    ).astype(np.uint8)
+    assert err(decode_jpeg(encode_jpeg(grad, subsample=True)), grad) <= 12
+    assert err(
+        decode_jpeg(encode_jpeg(grad, subsample=True, restart_interval=2)),
+        grad,
+    ) <= 12
