@@ -25,10 +25,16 @@ Codec status (round 2 — no longer stubbed):
        4:4:4 flat-quant encoder as the in-sandbox round-trip partner —
        round 4. Progressive (SOF2) / arithmetic / 12-bit raise
        NotImplementedError.
-  other formats (mp3/mp4...) need codec libraries this container
-       does not ship: decode raises NotImplementedError unless
-       `deterministic_fake=True` (seed-stable fake features so pipelines
-       exercise end-to-end).
+  MP3  REAL header-metadata parsing (round 4): MPEG-1 Layer III frame
+       walk (ID3v2 skip, per-frame bitrate -> true VBR mean, duration
+       from frame count) — the facts a 100 TB pipeline filters on,
+       without PCM decode. PCM itself stays NotImplementedError.
+  MP4  REAL container metadata (round 4): ISO-BMFF box walk (64-bit
+       largesize, mvhd v0/v1 -> duration/timescale, trak count). Pixel
+       decode stays NotImplementedError.
+  other formats need codec libraries this container does not ship:
+       decode raises NotImplementedError unless `deterministic_fake=True`
+       (seed-stable fake features so pipelines exercise end-to-end).
 """
 
 from __future__ import annotations
@@ -431,6 +437,138 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 # --------------------------------------------------------------------------
 # feature extraction
 # --------------------------------------------------------------------------
+
+
+# --------------------------------------------------------------------------
+# MP3 / MP4 container metadata (pure stdlib; round 4)
+#
+# Full audio/video DECODE needs codec libraries this sandbox does not
+# ship — but the metadata a training-data pipeline actually filters on
+# (duration, bitrate, sample rate, track count) lives in plain container
+# headers. These parsers are REAL: they walk MPEG audio frame headers /
+# ISO-BMFF boxes, so mp3/mp4 features are header-derived facts, not
+# fakes. PCM/pixel decode for these formats still raises
+# NotImplementedError (honest capability contract).
+# --------------------------------------------------------------------------
+
+_MP3_BITRATES_V1L3 = [  # kbps, MPEG-1 Layer III (index 0 = free, 15 = bad)
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+]
+_MP3_RATES_V1 = [44100, 48000, 32000]
+
+
+def parse_mp3_meta(payload: bytes) -> dict:
+    """Walk MPEG-1 Layer III frame headers: returns dict(bitrate_kbps
+    [mean], sample_rate, n_frames, duration_ms). Frame length =
+    144 * bitrate / sample_rate + padding (ISO 11172-3); VBR streams get
+    the true per-frame mean because every header is visited. Raises
+    ValueError when no valid frame sync is found."""
+    pos, n = 0, len(payload)
+    if payload[:3] == b"ID3" and n >= 10:  # skip ID3v2 tag (syncsafe size)
+        size = (
+            (payload[6] & 0x7F) << 21 | (payload[7] & 0x7F) << 14
+            | (payload[8] & 0x7F) << 7 | (payload[9] & 0x7F)
+        )
+        pos = 10 + size
+    frames = 0
+    bitrate_sum = 0
+    sample_rate = None
+    while pos + 4 <= n:
+        b0, b1, b2 = payload[pos], payload[pos + 1], payload[pos + 2]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            if frames:  # trailing garbage / APE tag after last frame
+                break
+            pos += 1  # resync before the first frame
+            continue
+        version, layer = (b1 >> 3) & 3, (b1 >> 1) & 3
+        if version != 3 or layer != 1:  # only MPEG-1 Layer III
+            if frames:
+                break
+            pos += 1
+            continue
+        br_idx, sr_idx = (b2 >> 4) & 15, (b2 >> 2) & 3
+        if br_idx in (0, 15) or sr_idx == 3:
+            if frames:
+                break
+            pos += 1
+            continue
+        bitrate = _MP3_BITRATES_V1L3[br_idx] * 1000
+        sample_rate = _MP3_RATES_V1[sr_idx]
+        padding = (b2 >> 1) & 1
+        frame_len = 144 * bitrate // sample_rate + padding
+        frames += 1
+        bitrate_sum += bitrate
+        pos += frame_len
+    if frames == 0 or sample_rate is None:
+        raise ValueError("no valid MPEG-1 Layer III frame found")
+    return {
+        "bitrate_kbps": bitrate_sum / frames / 1000.0,
+        "sample_rate": sample_rate,
+        "n_frames": frames,
+        "duration_ms": frames * 1152.0 * 1000.0 / sample_rate,
+    }
+
+
+def parse_mp4_meta(payload: bytes) -> dict:
+    """Walk top-level ISO-BMFF boxes to moov/mvhd: returns
+    dict(duration_ms, timescale, n_tracks, major_brand). Handles 64-bit
+    largesize boxes and mvhd versions 0/1. Raises ValueError when the
+    stream has no ftyp/moov structure."""
+
+    def boxes(data: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            size = struct.unpack(">I", data[pos:pos + 4])[0]
+            btype = data[pos + 4:pos + 8]
+            hdr = 8
+            if size == 1:  # 64-bit largesize
+                size = struct.unpack(">Q", data[pos + 8:pos + 16])[0]
+                hdr = 16
+            elif size == 0:  # box extends to end of file
+                size = end - pos
+            if size < hdr:
+                raise ValueError("corrupt ISO-BMFF box size")
+            yield btype, pos + hdr, pos + size
+            pos += size
+
+    major_brand = None
+    duration_ms = None
+    timescale = None
+    n_tracks = 0
+    for btype, body_start, body_end in boxes(payload, 0, len(payload)):
+        if btype == b"ftyp":
+            major_brand = payload[body_start:body_start + 4].decode(
+                "ascii", "replace"
+            )
+        elif btype == b"moov":
+            for ctype, cstart, cend in boxes(payload, body_start, body_end):
+                if ctype == b"mvhd":
+                    version = payload[cstart]
+                    if version == 1:
+                        timescale = struct.unpack(
+                            ">I", payload[cstart + 20:cstart + 24]
+                        )[0]
+                        duration = struct.unpack(
+                            ">Q", payload[cstart + 24:cstart + 32]
+                        )[0]
+                    else:
+                        timescale = struct.unpack(
+                            ">I", payload[cstart + 12:cstart + 16]
+                        )[0]
+                        duration = struct.unpack(
+                            ">I", payload[cstart + 16:cstart + 20]
+                        )[0]
+                    duration_ms = duration * 1000.0 / max(1, timescale)
+                elif ctype == b"trak":
+                    n_tracks += 1
+    if major_brand is None or duration_ms is None:
+        raise ValueError("not an ISO-BMFF stream with ftyp + moov/mvhd")
+    return {
+        "duration_ms": duration_ms,
+        "timescale": timescale,
+        "n_tracks": n_tracks,
+        "major_brand": major_brand,
+    }
 
 
 # --------------------------------------------------------------------------
@@ -857,6 +995,29 @@ def _audio_features(samples: np.ndarray, rate: int, dim: int = FEATURE_DIM) -> l
     return (feats + [0.0] * dim)[:dim]
 
 
+def _mp3_features(meta: dict, dim: int = FEATURE_DIM) -> list[float]:
+    """Header-metadata audio features (no PCM decode): duration, mean
+    bitrate, sample rate, frame count."""
+    feats = [
+        meta["duration_ms"] / 1000.0,
+        meta["bitrate_kbps"],
+        float(meta["sample_rate"]),
+        float(meta["n_frames"]),
+    ]
+    return (feats + [0.0] * dim)[:dim]
+
+
+def _mp4_features(meta: dict, dim: int = FEATURE_DIM) -> list[float]:
+    """Container-metadata video features: duration, track count,
+    timescale."""
+    feats = [
+        meta["duration_ms"] / 1000.0,
+        float(meta["n_tracks"]),
+        float(meta["timescale"] or 0),
+    ]
+    return (feats + [0.0] * dim)[:dim]
+
+
 def decode_features(payload: bytes, kind: str) -> list[float]:
     """Real decode for PNG/WAV; NotImplementedError otherwise.
 
@@ -880,6 +1041,14 @@ def decode_features(payload: bytes, kind: str) -> list[float]:
             and payload[8:12] == b"WAVE"
         ):
             return _audio_features(*decode_wav(payload))
+        if kind == "audio" and (
+            payload[:3] == b"ID3"
+            or (len(payload) > 1 and payload[0] == 0xFF and payload[1] & 0xE0 == 0xE0)
+        ):
+            # real header metadata (no PCM decode in the sandbox)
+            return _mp3_features(parse_mp3_meta(payload))
+        if kind == "video" and payload[4:8] == b"ftyp":
+            return _mp4_features(parse_mp4_meta(payload))
     except NotImplementedError:
         raise
     except Exception as exc:  # wave.Error, zlib.error, struct.error, Index/ValueError

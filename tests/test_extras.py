@@ -567,3 +567,81 @@ def test_jpeg_420_subsampling():
         decode_jpeg(encode_jpeg(grad, subsample=True, restart_interval=2)),
         grad,
     ) <= 12
+
+def _make_mp3(n_frames=40, bitrate_idx=9, sr_idx=0, id3=True):
+    """Synthesize a valid MPEG-1 Layer III stream: ID3v2 tag + n CBR
+    frames (header + zero payload)."""
+    out = bytearray()
+    if id3:
+        out += b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10
+    bitrate = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+               256, 320][bitrate_idx] * 1000
+    rate = [44100, 48000, 32000][sr_idx]
+    frame_len = 144 * bitrate // rate  # no padding bit
+    for _ in range(n_frames):
+        hdr = bytes([0xFF, 0xFB, (bitrate_idx << 4) | (sr_idx << 2), 0x00])
+        out += hdr + b"\x00" * (frame_len - 4)
+    return bytes(out)
+
+
+def _make_mp4(duration=90, timescale=600, n_tracks=2, v1=False):
+    """Synthesize a minimal ISO-BMFF file: ftyp + moov(mvhd + traks)."""
+    import struct as st
+
+    def box(btype, body):
+        return st.pack(">I", len(body) + 8) + btype + body
+
+    if v1:
+        mvhd = box(
+            b"mvhd",
+            bytes([1, 0, 0, 0]) + b"\x00" * 16
+            + st.pack(">I", timescale) + st.pack(">Q", duration) + b"\x00" * 80,
+        )
+    else:
+        mvhd = box(
+            b"mvhd",
+            bytes([0, 0, 0, 0]) + b"\x00" * 8
+            + st.pack(">I", timescale) + st.pack(">I", duration) + b"\x00" * 80,
+        )
+    traks = b"".join(box(b"trak", b"\x00" * 8) for _ in range(n_tracks))
+    return box(b"ftyp", b"mp42\x00\x00\x00\x00mp42") + box(b"moov", mvhd + traks)
+
+
+def test_mp3_mp4_metadata_parsers():
+    """Round 4: mp3/mp4 upgrade from fake-mode to REAL header metadata —
+    frame-walked MPEG-1 Layer III stats and ISO-BMFF mvhd duration/track
+    count; decode_features routes them; garbage still refuses."""
+    import pytest as _pytest
+
+    from refine_spark.multimodal import (
+        decode_features, parse_mp3_meta, parse_mp4_meta,
+    )
+
+    mp3 = _make_mp3(n_frames=40, bitrate_idx=9, sr_idx=0)
+    meta = parse_mp3_meta(mp3)
+    assert meta["n_frames"] == 40
+    assert meta["sample_rate"] == 44100
+    assert abs(meta["bitrate_kbps"] - 128.0) < 1e-9
+    assert abs(meta["duration_ms"] - 40 * 1152 * 1000 / 44100) < 1e-6
+    feats = decode_features(mp3, "audio")
+    assert abs(feats[0] - meta["duration_ms"] / 1000.0) < 1e-9
+    assert feats[3] == 40.0
+
+    # VBR: mixed bitrates -> true mean over frames
+    vbr = _make_mp3(10, bitrate_idx=9) + _make_mp3(10, bitrate_idx=12, id3=False)
+    m = parse_mp3_meta(vbr)
+    assert m["n_frames"] == 20 and abs(m["bitrate_kbps"] - (128 + 224) / 2) < 1e-9
+
+    mp4 = _make_mp4(duration=1200, timescale=600, n_tracks=3)
+    meta4 = parse_mp4_meta(mp4)
+    assert meta4["duration_ms"] == 2000.0
+    assert meta4["n_tracks"] == 3 and meta4["major_brand"] == "mp42"
+    meta4v1 = parse_mp4_meta(_make_mp4(duration=300, timescale=100, v1=True))
+    assert meta4v1["duration_ms"] == 3000.0
+    feats4 = decode_features(mp4, "video")
+    assert feats4[0] == 2.0 and feats4[1] == 3.0
+
+    with _pytest.raises(ValueError):
+        parse_mp3_meta(b"\x00" * 64)
+    with _pytest.raises(NotImplementedError):
+        decode_features(b"\xff\xe0 not really mp3", "audio")
