@@ -132,13 +132,25 @@ def prepare(docs: DataFrame, cfg: DedupConfig = DEFAULT) -> DataFrame:
 
 
 def verify_doc_ids(base: DataFrame) -> None:
-    """Assert xxhash64(url) is collision-free over this corpus (one
-    narrow two-aggregate job). Run in checkpointed mode, where one extra
-    corpus pass is already the accepted trade for resumability."""
+    """Assert the url-keyed input contract (one row per url — the
+    input_hint's per-url invariant) AND that xxhash64(url) is
+    collision-free over this corpus, in one narrow three-aggregate job.
+    Run in checkpointed mode, where one extra corpus pass is already the
+    accepted trade for resumability. A violated contract otherwise
+    surfaces deep in the name pass as an opaque DUPLICATED_MAP_KEY (two
+    docs merged under one doc_id put the same token twice in one
+    weight map — observed with a duplicate synth url at 3.2M docs)."""
     row = base.agg(
+        F.count(F.lit(1)).alias("n_rows"),
         F.count_distinct("url").alias("n_urls"),
         F.count_distinct("doc_id").alias("n_ids"),
     ).collect()[0]
+    if row["n_rows"] != row["n_urls"]:
+        raise ValueError(
+            f"input not url-keyed: {row['n_rows']} rows but "
+            f"{row['n_urls']} distinct urls — dedupe upstream "
+            "(dropDuplicates(['url']))"
+        )
     if row["n_urls"] != row["n_ids"]:
         raise ValueError(
             f"doc_id collision: {row['n_urls']} urls -> {row['n_ids']} ids; "

@@ -233,6 +233,16 @@ def gen_documents(
         total += b.rng.choice(weighted)()
     docs = pd.DataFrame(b.rows)
     truth = pd.DataFrame(b.truth)
+    # the random slug space can collide at multi-million doc counts (first
+    # observed: 1 collision in 3.2M); two distinct documents under one url
+    # would violate the url-keyed input contract (input_hint: one row per
+    # url) and merge their planted identities — disambiguate
+    # deterministically, keeping docs/truth aligned row-for-row
+    dup = docs["url"].duplicated(keep="first")
+    if dup.any():
+        mangled = docs["url"] + "~u" + docs.groupby("url").cumcount().astype(str)
+        docs.loc[dup, "url"] = mangled[dup]
+        truth.loc[dup.values, "url"] = mangled[dup].values
     truth["cluster_id"] = truth["cluster_id"].astype("Int64")
     return docs, truth
 
