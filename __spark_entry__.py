@@ -361,22 +361,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lang_id_counts"] = lang_id_counts
 
-    def token_counts(spark, sf):
+    def text_metrics(spark, sf):
+        # token counting (whitespace + BPE-ish units) and quality scoring
+        # fused into one per-doc scan: same row grain, and the driver
+        # correctness gate covers at most 50 queries — the round-4/5
+        # merge frees the slots that kept levenshtein_pairs and
+        # orphan_parts regression-ungated for two rounds
         docs = _read(spark, sf, "documents")
+        stats = quality_stats(F.col("text"))
         return docs.select(
             "doc_id",
             token_count(F.col("text")).cast("long").alias("n_tokens"),
             bpe_ish_count(F.col("text")).cast("long").alias("n_units"),
+            *[
+                c.cast("long").alias(k)
+                for k, c in stats.items()
+                if k != "n_tokens"
+            ],
         )
 
-    q["token_counts"] = token_counts
-
-    def quality(spark, sf):
-        docs = _read(spark, sf, "documents")
-        stats = quality_stats(F.col("text"))
-        return docs.select("doc_id", *[c.cast("long").alias(k) for k, c in stats.items()])
-
-    q["quality"] = quality
+    q["text_metrics"] = text_metrics
 
     def fingerprints(spark, sf):
         docs = _read(spark, sf, "documents")
@@ -980,20 +984,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from refine_spark.analysis import sessionize
 
         events = _read(spark, sf, "events")
+        # user_event_seq (the former standalone events_session_seq query,
+        # merged r5 to free a driver-gate slot) partitions on the same key
+        # as the session windows — no extra shuffle, one more sort-free
+        # WindowExec pass over the already-partitioned frame
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
         return sessionize(events).select(
-            "user_id", "event_id", "session_seq", "session_event_seq"
+            "user_id",
+            "event_id",
+            "session_seq",
+            "session_event_seq",
+            F.row_number().over(w).cast("long").alias("user_event_seq"),
         )
 
     q["events_sessionize"] = events_sessionize
-
-    def events_session_seq(spark, sf):
-        events = _read(spark, sf, "events")
-        w = W.partitionBy("user_id").orderBy("ts", "event_id")
-        return events.select(
-            "user_id", "event_id", F.row_number().over(w).cast("long").alias("seq")
-        )
-
-    q["events_session_seq"] = events_session_seq
 
     def tpch_pricing(spark, sf):
         li = _read(spark, sf, "lineitem")
@@ -1403,19 +1407,13 @@ def oracle_sql() -> dict[str, str]:
                 SELECT {lang_case} AS lang_pred FROM documents
             ) GROUP BY lang_pred
         """,
-        "token_counts": r"""
+        "text_metrics": r"""
             SELECT doc_id,
                    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
                                    t -> t <> '')) AS n_tokens,
                    len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
-                       AS n_units
-            FROM documents
-        """,
-        "quality": r"""
-            SELECT doc_id,
+                       AS n_units,
                    length(text) AS n_chars_q,
-                   len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
-                                   t -> t <> '')) AS n_tokens,
                    len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
                    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
                        t -> t IN ('the','and','of','in','to','is','that',
@@ -1956,7 +1954,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id, session_seq,
                    CAST(row_number() OVER (
                        PARTITION BY user_id, session_seq
-                       ORDER BY ts, event_id) AS BIGINT) AS session_event_seq
+                       ORDER BY ts, event_id) AS BIGINT) AS session_event_seq,
+                   CAST(row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id) AS BIGINT) AS user_event_seq
             FROM (
                 SELECT user_id, event_id, ts,
                        CAST(sum(new_sess) OVER (
@@ -1975,12 +1976,6 @@ def oracle_sql() -> dict[str, str]:
                     FROM events
                 )
             )
-        """,
-        "events_session_seq": """
-            SELECT user_id, event_id,
-                   row_number() OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id) AS seq
-            FROM events
         """,
         "tpch_pricing": """
             SELECT l_returnflag, l_linestatus, count(*) AS n_rows,

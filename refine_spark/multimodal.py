@@ -1112,29 +1112,40 @@ def frame_sample(media: DataFrame, n_frames: int = 3) -> DataFrame:
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     """REAL resize for PNG/JPEG payloads: decode -> nearest-neighbor
     resample -> re-encode, Arrow-batched; meta dims updated. Other
-    payloads pass through unchanged (their meta is not rewritten either).
-    JPEG re-encodes with the flat-quant baseline encoder (lossy input,
-    near-lossless re-encode)."""
+    payloads — including PNG/JPEG variants the codecs can't decode
+    (progressive/arithmetic/12-bit JPEG, corrupt streams) — pass through
+    unchanged (their meta is not rewritten either): one undecodable row
+    in a web corpus must never fail the whole job. JPEG re-encodes with
+    the flat-quant baseline encoder (lossy input, near-lossless
+    re-encode)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_payload, out_w, out_h = [], [], []
             for payload, mw, mh in zip(pdf["payload"], pdf["width"], pdf["height"]):
                 b = bytes(payload)
-                if b[:8] == _PNG_MAGIC:
-                    px = resize_nearest(decode_png(b), width, height)
-                    out_payload.append(encode_png(px))
-                    out_w.append(width)
-                    out_h.append(height)
-                elif b[:2] == b"\xff\xd8":
-                    px = resize_nearest(decode_jpeg(b), width, height)
-                    out_payload.append(encode_jpeg(px))
-                    out_w.append(width)
-                    out_h.append(height)
-                else:
-                    out_payload.append(b)
-                    out_w.append(mw)
-                    out_h.append(mh)
+                try:
+                    if b[:8] == _PNG_MAGIC:
+                        px = resize_nearest(decode_png(b), width, height)
+                        out_payload.append(encode_png(px))
+                        out_w.append(width)
+                        out_h.append(height)
+                        continue
+                    if b[:2] == b"\xff\xd8":
+                        px = resize_nearest(decode_jpeg(b), width, height)
+                        out_payload.append(encode_jpeg(px))
+                        out_w.append(width)
+                        out_h.append(height)
+                        continue
+                except Exception:
+                    # NotImplementedError (progressive JPEG etc.) or any
+                    # malformed-stream error (ValueError/IndexError/
+                    # struct.error...): fall through to pass-through —
+                    # same contract as every other undecodable payload
+                    pass
+                out_payload.append(b)
+                out_w.append(mw)
+                out_h.append(mh)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -175,8 +175,7 @@ def run_dedup(
     runner = StageRunner(spark, checkpoint_dir, lazy=lazy)
 
     base = prepare(docs, cfg).localCheckpoint()
-    if not lazy:
-        verify_doc_ids(base)
+    verify_doc_ids(base)
     # every edge pass below shuffles the 8-byte doc_id, never the url;
     # this map re-attaches urls exactly once, at cluster emission
     ids = base.select("doc_id", "url")

@@ -316,3 +316,15 @@ def test_minhash_verify_join_broadcasts_pairs(spark):
     assert n_over == 10 and n_under == 10
     assert "hint" not in over._jdf.queryExecution().logical().toString().lower()
     assert "hint" in under._jdf.queryExecution().logical().toString().lower()
+
+    # BYTE gate (round-4 ADVICE): rows under the row cap but wide string
+    # ids over the byte budget must also withhold the hint — url-keyed
+    # standalone callers would otherwise collect GBs for the broadcast
+    wide = spark.range(10).selectExpr(
+        "repeat('u', 200) || id as src", "repeat('v', 200) || id as dst"
+    )
+    fat, n_fat = materialize_pairs(wide, broadcast_max_bytes=1024)
+    slim, n_slim = materialize_pairs(wide)
+    assert n_fat == 10 and n_slim == 10
+    assert "hint" not in fat._jdf.queryExecution().logical().toString().lower()
+    assert "hint" in slim._jdf.queryExecution().logical().toString().lower()
