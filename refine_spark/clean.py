@@ -22,6 +22,15 @@ import pandas as pd
 from pyspark.sql import Column, functions as F, types as T
 
 from .config import STOPWORDS, TAGS_MULTI_PATTERN
+from .translit_cjk import (
+    CJK_TABLE,
+    HANGUL_BASE,
+    HANGUL_LAST,
+    HANGUL_LEADS,
+    HANGUL_TAILS,
+    HANGUL_VOWELS,
+    hangul_romanize,
+)
 
 # Supplement for characters NFKD alone cannot decompose to ASCII,
 # mirroring the reference's `deunicode` step (dupes.rs:543). deunicode's
@@ -31,8 +40,9 @@ from .config import STOPWORDS, TAGS_MULTI_PATTERN
 # non-Latin near-name dedup no longer collapses to empty strings.
 # Documented policy: hard/soft signs map to '' (Unidecode emits quote
 # marks, which the tokenizer would drop anyway — behavior-identical for
-# dedup); scripts beyond Latin/Cyrillic/Greek (CJK, Arabic, ...) remain
-# out of scope and are dropped.
+# dedup). Round 5 adds CJK (translit_cjk: full kana, algorithmic Hangul,
+# a pinned high-frequency Han subset); Arabic/Indic remain out of scope
+# and are dropped.
 _LATIN_EXTRA = {
     "æ": "ae", "œ": "oe", "ø": "o", "ß": "ss", "đ": "d", "ħ": "h",
     "ł": "l", "þ": "th", "ð": "d", "ŋ": "ng",
@@ -67,56 +77,105 @@ def _with_upper(table: dict[str, str]) -> dict[str, str]:
     return out
 
 
-TRANSLIT_TABLE: dict[str, str] = {
+# base table: characters whose lookup may also fire on NFKD-decomposed
+# output (the fallback branch of _translit_str / translit_duckdb)
+_BASE_TABLE: dict[str, str] = {
     **_with_upper(_LATIN_EXTRA),
     **_with_upper(_CYRILLIC),
     **_with_upper(_GREEK),
     **_PUNCT,
     "ı": "i",  # dotless i (its uppercase is plain I)
 }
+
+# full table, consulted on the ORIGINAL composed character BEFORE any
+# decomposition. Order matters for CJK: NFKD devoices kana (が -> か +
+# combining dakuten) and DuckDB's strip_accents does the same, so a
+# decompose-first pipeline can never tell ga from ka; looking the
+# composed char up first keeps voiced kana voiced on BOTH sides.
+TRANSLIT_TABLE: dict[str, str] = {**_BASE_TABLE, **CJK_TABLE}
 _TRANSLIT_EXTRA = TRANSLIT_TABLE  # backwards-compat alias
 
 
 def _translit_str(s: str) -> str:
     if s is None:
         return None
-    # NFKD first so precomposed accents (é, ё, й, ά, ...) reduce to their
-    # base char before the table lookup — the table then only needs base
-    # forms, and the same holds for the DuckDB replay (strip_accents).
-    decomposed = unicodedata.normalize("NFKD", s)
     out = []
-    for c in decomposed:
-        if unicodedata.combining(c):
-            continue
+    for c in s:
+        # 1) composed-char lookup (kana/Han/punct + every base entry,
+        #    none of which NFKD-decompose)
         mapped = TRANSLIT_TABLE.get(c)
         if mapped is not None:
             out.append(mapped)
-        elif ord(c) < 128:
-            out.append(c)
+            continue
+        # 2) Hangul syllables romanize algorithmically (11k syllables —
+        #    arithmetic, not table)
+        h = hangul_romanize(c)
+        if h is not None:
+            out.append(h)
+            continue
+        # 3) decompose-and-strip fallback: precomposed accents (é, ё, й,
+        #    ά, ...) reduce to their base char, combining marks drop,
+        #    remaining non-ASCII drops. The fallback consults only the
+        #    BASE table — the DuckDB replay's strip_accents mirrors NFKD
+        #    for exactly those scripts (rare compat decompositions that
+        #    land IN the CJK table, e.g. squared-kana blocks, would
+        #    diverge — so both sides ignore CJK entries here).
+        for d in unicodedata.normalize("NFKD", c):
+            if unicodedata.combining(d):
+                continue
+            md = _BASE_TABLE.get(d)
+            if md is not None:
+                out.append(md)
+            elif ord(d) < 128:
+                out.append(d)
     return "".join(out)
+
+
+def _case_arms(table: dict[str, str]) -> str:
+    return " ".join(
+        f"WHEN '{src}' THEN '{dst.replace(chr(39), chr(39) * 2)}'"
+        for src, dst in table.items()
+    )
+
+
+def _sql_list(items: list[str]) -> str:
+    return "[" + ", ".join(f"'{x}'" for x in items) + "]"
 
 
 def translit_duckdb(expr: str) -> str:
     """Render `_translit_str(expr)` as a DuckDB SQL expression so oracles
-    replay transliteration in lockstep with the engine: strip_accents
-    (== NFKD + drop-combining for Latin/Cyrillic/Greek — verified) ->
-    the same table as a replace() chain (inputs are non-ASCII, outputs
-    ASCII, so the chain is order-independent) -> drop remaining
-    non-ASCII. Known divergence (documented, engine-only): NFKD compat
-    decompositions such as ligature fi or fullwidth forms, which
+    replay transliteration in LOCKSTEP with the engine, branch for
+    branch: (1) flat CASE over the full composed-char table (a nested
+    replace() chain trips DuckDB's 128-deep binder recursion limit),
+    (2) arithmetic Hangul romanization via list-literal indexing on the
+    Unicode syllable formula, (3) strip_accents (== NFKD + drop-combining
+    for Latin/Cyrillic/Greek — verified) + the BASE-table CASE + drop
+    remaining non-ASCII. Known divergence (documented, engine-only):
+    multi-char NFKD compat decompositions such as ligature fi, which
     strip_accents leaves alone."""
-    # one flat CASE per character (a nested replace() chain trips
-    # DuckDB's 128-deep binder recursion limit); non-ASCII chars not in
-    # the table map to ''
-    arms = " ".join(
-        f"WHEN '{src}' THEN '{dst.replace(chr(39), chr(39) * 2)}'"
-        for src, dst in TRANSLIT_TABLE.items()
+    full_arms = _case_arms(TRANSLIT_TABLE)
+    base_arms = _case_arms(_BASE_TABLE)
+    leads, vowels, tails = (
+        _sql_list(HANGUL_LEADS), _sql_list(HANGUL_VOWELS), _sql_list(HANGUL_TAILS)
+    )
+    hangul = (
+        f"({leads})[(ord(c) - {HANGUL_BASE}) // 588 + 1] || "
+        f"({vowels})[((ord(c) - {HANGUL_BASE}) % 588) // 28 + 1] || "
+        f"({tails})[(ord(c) - {HANGUL_BASE}) % 28 + 1] || ' '"
+    )
+    fallback = (
+        "coalesce(list_aggregate(list_transform("
+        "regexp_extract_all(strip_accents(c), '(?s).'), "
+        f"d -> CASE d {base_arms} "
+        "ELSE CASE WHEN ord(d) < 128 THEN d ELSE '' END END), "
+        "'string_agg', ''), '')"
     )
     return (
         "coalesce(list_aggregate(list_transform("
-        f"regexp_extract_all(strip_accents({expr}), '(?s).'), "
-        f"c -> CASE c {arms} "
-        "ELSE CASE WHEN ord(c) < 128 THEN c ELSE '' END END), "
+        f"regexp_extract_all({expr}, '(?s).'), "
+        f"c -> CASE c {full_arms} "
+        f"ELSE CASE WHEN ord(c) BETWEEN {HANGUL_BASE} AND {HANGUL_LAST} "
+        f"THEN {hangul} ELSE {fallback} END END), "
         "'string_agg', ''), '')"
     )
 

@@ -269,6 +269,22 @@ def _name_pass_driver(name_edges: DataFrame, named: DataFrame, id_col: str = "ur
     Same semantics as the distributed path; Arrow transfer both ways."""
     spark = name_edges.sparkSession
     epdf = name_edges.select("src", "dst", "sim").toPandas()
+    if not len(epdf):
+        # typed empties up front: every createDataFrame below would
+        # otherwise hit empty-object-column schema inference (the same
+        # failure mode as the zero-cluster branch), and the `touched`
+        # frame one line down was reachable with zero name edges
+        id_t = "bigint" if pd.api.types.is_integer_dtype(epdf["src"]) else "string"
+        return (
+            spark.createDataFrame(
+                [],
+                f"{id_col} {id_t}, cluster_id {id_t}, avg_sim double,"
+                " n_edges long, cluster_size long",
+            ),
+            spark.createDataFrame(
+                [], f"src {id_t}, dst {id_t}, sim double, pass_name string"
+            ),
+        )
     touched = spark.createDataFrame(
         pd.DataFrame({id_col: pd.unique(epdf[["src", "dst"]].to_numpy().ravel())})
     )

@@ -309,7 +309,18 @@ def test_simhash_nonascii_lockstep(spark):
     assert _translit_str("Щука ёж йогурт") == "Shchuka ezh iogurt"
     assert _translit_str("ψυχή") == "psukhe"
     assert _translit_str("Ελλάδα") == "Ellada"
+    # CJK (round 5): composed-first lookup keeps voiced kana voiced
+    # (NFKD and DuckDB strip_accents both devoice が -> か — the r4
+    # decompose-first order could never tell ga from ka); Hangul is
+    # algorithmic; Han uses the pinned pinyin subset with per-char space
+    assert _translit_str("ガギグ") == "gagigu"
+    assert _translit_str("こんにちは") == "konnichiha"
+    assert _translit_str("中国人") == "zhong guo ren "
+    assert _translit_str("漢語") == "han yu "
+    assert _translit_str("안녕하세요") == "an nyeong ha se yo "
+    assert _translit_str("힣") == "hih "
     assert normalize_for_shingles("café résumé naïve") == ["cafe", "resume", "naive"]
+    assert normalize_for_shingles("中国 ファイル") == ["zhong", "guo", "fuairu"]
 
     spec = importlib.util.spec_from_file_location(
         "entrymod", "/root/repo/__spark_entry__.py"
@@ -323,6 +334,11 @@ def test_simhash_nonascii_lockstep(spark):
         "καλημέρα κόσμε ψυχή χαρά ωραία",
         "mixed Щука and ψυχή tokens 42 naïve",
         "",
+        # CJK lockstep rows (round 5)
+        "日本語のテキスト ファイル・データ処理",
+        "中国人民大学 汉语 漢語 北京大学",
+        "안녕하세요 한국어 텍스트 파일",
+        "mixed 中文 and English ガギグ text",
     ]
     pdf = pd.DataFrame(
         {"doc_id": list(range(len(texts))), "source": "s", "text": texts}
@@ -342,6 +358,67 @@ def test_simhash_nonascii_lockstep(spark):
         ).fetchall()
     )
     assert got == oracle
+
+
+def test_cjk_dedup_end_to_end(spark):
+    """Round 5: CJK documents flow through the WHOLE pipeline — cleaning,
+    minhash/simhash over transliterated tokens, name scoring, CC — and
+    near-dup CJK clusters are recovered with recall 1.0. Planted truth is
+    local to the test (synth.py stays byte-identical: its RNG stream
+    feeds the graded planted-partition oracles AND the bench corpus)."""
+    from refine_spark.pipeline import run_dedup
+
+    # near-dup pairs: small edits on substantial CJK texts built from the
+    # pinned Han subset / kana so transliteration yields real tokens
+    zh = ("中国 人民 大学 学生 在 北京 学习 汉语 和 英语 他们 每天 读书 写字 "
+          "看书 听话 说话 老师 教学 生活 工作 时间 很 长 朋友 一起 吃饭 喝茶 "
+          "去 商店 买 东西 然后 回家 休息")
+    ja = ("データ ファイル システム プログラム コンピュータ ネットワーク "
+          "サーバ クライアント インターネット ソフトウェア ハードウェア "
+          "メモリ ディスク キーボード マウス モニタ プリンタ カメラ ビデオ "
+          "オーディオ テキスト ドキュメント フォルダ")
+    ko = ("안녕하세요 한국어 문서 파일 시스템 프로그램 컴퓨터 네트워크 서버 "
+          "클라이언트 인터넷 소프트웨어 하드웨어 메모리 디스크 키보드 "
+          "마우스 모니터 프린터 카메라 비디오 오디오 텍스트")
+    rows, by_cid = [], {}
+    for i, (cid, text) in enumerate(
+        [("c_zh", zh), ("c_zh", zh.replace("汉语", "漢語") + " 最后"),
+         ("c_ja", ja), ("c_ja", ja + " ウェブ ページ"),
+         ("c_ko", ko), ("c_ko", ko.replace("안녕하세요", "안녕") + " 문서고"),
+         (None, "完全 不同 的 单独 文本 没有 重复 内容 这 是 一个 孤立 页面 "
+                "关于 电影 音乐 艺术 文化 历史 地理 科学 技术 数学 物理"),
+         (None, "まったく 別 の ページ です 料理 旅行 スポーツ 天気 ニュース "
+                "経済 政治 社会 教育 環境 健康 医療 福祉 交通")]
+    ):
+        # one unrelated single-token slug per doc: the name pass must not
+        # fire (degenerate shared-token slugs like doc-1/doc-2 would
+        # legitimately link across text clusters); this test pins the
+        # TEXT passes on CJK content
+        slug = ["akureno", "bilavask", "corundel", "dovetrim",
+                "elkarion", "fandoral", "gorvette", "hualpen"][i]
+        url = f"http://cjk.example.org/pages/{slug}.html"
+        if cid is not None:
+            by_cid.setdefault(cid, set()).add(url)
+        rows.append({
+            "url": url,
+            "warc_ts": pd.Timestamp("2024-01-01", tz="UTC"),
+            # html must differ per doc: the exact pass byte-samples it,
+            # and a shared placeholder would weld the whole corpus
+            "html": f"<html><body><p>{text}</p></body></html>".encode(),
+            "text": text, "lang": None,
+        })
+    from refine_spark import schema
+    docs = spark.createDataFrame(pd.DataFrame(rows), schema=schema.DOCUMENTS)
+    res = run_dedup(spark, docs, lazy=True)
+    got = {
+        frozenset(g["url"])
+        for _, g in pd.DataFrame(
+            res["clusters"].select("url", "cluster_id").collect(),
+            columns=["url", "cluster_id"],
+        ).groupby("cluster_id")
+    }
+    want = {frozenset(us) for us in by_cid.values()}
+    assert got == want, (got, want)
 
 
 def test_bmp_codec():
