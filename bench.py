@@ -128,12 +128,21 @@ def main() -> None:
             for x in os.environ.get("SPARK_GRAFT_SCALING_CORES", "4,16").split(",")
         ]
         assert len(legs) == 2 and legs[1] == 4 * legs[0], legs
+        # SPARK_GRAFT_SCALING_PIN=1: taskset each leg to exactly its core
+        # count. Unpinned local[N] legs get FREE extra cores for JVM
+        # GC/JIT/shuffle threads and Python pandas-UDF workers (this box
+        # has 32), deflating the narrow leg's wall and therefore the
+        # measured efficiency; a real N-core executor has no such slack.
+        # Pinning makes the leg an honest N-core proxy.
+        pin = os.environ.get("SPARK_GRAFT_SCALING_PIN", "0") == "1"
         results = {}
         for rep in range(repeats):
             for cores in legs:
                 env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
+                prefix = ["taskset", "-c", f"0-{cores-1}" if cores > 1 else "0"] if pin else []
                 out = subprocess.run(
-                    [sys.executable, os.path.join(REPO, "bench.py"), "--pipeline-only"],
+                    prefix
+                    + [sys.executable, os.path.join(REPO, "bench.py"), "--pipeline-only"],
                     capture_output=True, text=True, env=env, check=True,
                 )
                 line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
@@ -150,8 +159,9 @@ def main() -> None:
             ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
             text=True, cwd=REPO,
         ).stdout.strip() or "?"
+        legs_tag = f"{n_lo}v{n_hi}" + ("p" if pin else "")
         new_row = (
-            f"| {git_rev} | {docs} | {n_lo}v{n_hi} | {repeats} "
+            f"| {git_rev} | {docs} | {legs_tag} | {repeats} "
             f"| {t_lo:.1f} | {t_hi:.1f} | {eff:.3f} | {thr_hi:.0f} "
             f"| {results[n_lo].get('loadavg_1m', -1)}"
             f"/{results[n_hi].get('loadavg_1m', -1)} |\n"
