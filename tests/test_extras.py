@@ -722,3 +722,42 @@ def test_mp3_mp4_metadata_parsers():
         parse_mp3_meta(b"\x00" * 64)
     with _pytest.raises(NotImplementedError):
         decode_features(b"\xff\xe0 not really mp3", "audio")
+
+
+def test_pair_broadcast_byte_gate(spark):
+    """materialize_pairs must withhold the broadcast hint when the pair
+    frame is byte-large even if row-small (url-keyed standalone callers:
+    wide strings blow driver.maxResultSize long before any row cap), and
+    grant it on the byte-small int64 hot path (round-5 ADVICE fix)."""
+    from pyspark.sql import functions as F
+
+    from refine_spark.candidates import count_and_est_bytes, materialize_pairs
+
+    def has_hint(df) -> bool:
+        return "ResolvedHint" in df._jdf.queryExecution().analyzed().toString()
+
+    # count_and_est_bytes: exact-width strings + 8-byte ints, one job
+    wide = spark.range(100).select(
+        F.rpad(F.lit("u"), 50, "x").alias("src"),
+        F.rpad(F.lit("v"), 50, "x").alias("dst"),
+        F.col("id").alias("k"),
+    )
+    n, est = count_and_est_bytes(wide, per_row_overhead=16)
+    assert n == 100
+    assert est == (50 + 50 + 8 + 16) * 100
+
+    # byte gate: 100 rows is far under the row cap, but the byte cap
+    # trips -> hint withheld, distributed sort-merge path kept
+    ungated, n2 = materialize_pairs(wide, broadcast_max_bytes=1_000)
+    assert n2 == 100 and not has_hint(ungated)
+
+    # int64 hot path: same rows, narrow columns -> hint granted
+    narrow = spark.range(100).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    hinted, n3 = materialize_pairs(narrow)
+    assert n3 == 100 and has_hint(hinted)
+
+    # row cap still enforced independently of bytes
+    ungated2, _ = materialize_pairs(narrow, broadcast_max_rows=10)
+    assert not has_hint(ungated2)
