@@ -223,6 +223,56 @@ def test_sessionize_model(events):
     assert got == expect
 
 
+# --- round-5 transliteration contracts (pure python, no Spark) -------------
+
+
+@given(st.text(min_size=0, max_size=60))
+@settings(max_examples=300, deadline=None)
+def test_translit_output_is_always_ascii(s):
+    """_translit_str must emit pure ASCII for ANY unicode input — the
+    downstream tokenizer, the simhash lockstep CTE, and the DuckDB
+    replay all assume it (a single non-ASCII survivor silently shifts
+    shingle hashes)."""
+    from refine_spark.clean import _translit_str
+
+    out = _translit_str(s)
+    assert all(ord(c) < 128 for c in out), out
+
+
+def test_translit_table_is_sql_safe_and_ascii():
+    """Every TRANSLIT_TABLE entry is embedded as a literal in the DuckDB
+    lockstep CASE (clean.translit_duckdb / _SIMHASH_CTE): keys go in
+    UNescaped (must be single non-ASCII quote-free chars), values are
+    ASCII with single quotes doubled by _case_arms — extending the CJK
+    tables must never corrupt the generated SQL silently."""
+    from refine_spark.clean import TRANSLIT_TABLE, _case_arms
+
+    for k, v in TRANSLIT_TABLE.items():
+        assert len(k) == 1 and ord(k) >= 128 and k != "'", repr(k)
+        assert all(ord(c) < 128 for c in v), repr((k, v))
+    # the escaping contract itself: doubled quotes, balanced arms
+    arms = _case_arms({"‘": "'", "é": "e"})
+    assert "THEN ''''" in arms and arms.count("'") % 2 == 0
+
+
+def test_hangul_romanize_total_over_syllable_block():
+    """hangul_romanize must cover all 11,172 precomposed syllables with
+    lowercase-ascii output ending in the syllable separator, and return
+    None outside the block (jamo, other scripts)."""
+    from refine_spark.translit_cjk import HANGUL_BASE, HANGUL_LAST, hangul_romanize
+
+    assert HANGUL_LAST - HANGUL_BASE + 1 == 11172
+    for o in range(HANGUL_BASE, HANGUL_LAST + 1):
+        r = hangul_romanize(chr(o))
+        assert r is not None and r.endswith(" ")
+        body = r[:-1]
+        assert body and body.islower() and body.isascii(), (hex(o), r)
+    assert hangul_romanize("ᄀ") is None  # bare jamo
+    assert hangul_romanize("a") is None
+    assert hangul_romanize(chr(HANGUL_BASE - 1)) is None
+    assert hangul_romanize(chr(HANGUL_LAST + 1)) is None
+
+
 @given(
     st.text(min_size=0, max_size=200),
     st.sampled_from([2, 16, 24, 33, 64]),
