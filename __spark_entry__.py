@@ -36,6 +36,7 @@ from refine_spark.probe import deduped_names
 from refine_spark.cluster import connected_components
 from refine_spark.config import DedupConfig, STOPWORDS, TAGS_MULTI_PATTERN
 from refine_spark.listing import NATURAL_KEY_DUCKDB, natural_key
+from refine_spark.partitioning import spread_small
 from refine_spark.pipeline import run_dedup
 from refine_spark.scan import collection_parts
 from refine_spark.signatures import make_simhash_udf, simhash_edges, with_signatures
@@ -268,7 +269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def simhash_fingerprints(spark, sf):
         # bit-parity gate: DuckDB recomputes the md5-based 60-bit
         # shingle-SimHash exactly (see signatures.token_hash60)
-        docs = _read(spark, sf, "documents")
+        docs = spread_small(_read(spark, sf, "documents").select("doc_id", "text"))
         sh = make_simhash_udf(DedupConfig())
         return docs.select("doc_id", sh(F.col("text")).alias("simhash"))
 
@@ -281,7 +282,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 15-bit band, so the outputs must be identical)
         docs = _docs_as_pipeline_input(_read(spark, sf, "documents"))
         sh = make_simhash_udf(DedupConfig())
-        signed = docs.select("url", sh(F.col("text")).alias("simhash"))
+        # spread the narrow (url, text) projection before the per-doc
+        # signature kernel: the few-MB documents scan is one partition,
+        # which would serialize the whole UDF stage on one core. Then
+        # materialize the (url, simhash) frame ONCE — simhash_edges
+        # references it from several subplans (intra/cross expansion +
+        # banding), and without the checkpoint the plan re-ran the
+        # ArrowEvalPython kernel per subplan (12 scans in the r5 plan).
+        signed = (
+            spread_small(docs.select("url", "text"))
+            .select("url", sh(F.col("text")).alias("simhash"))
+            .localCheckpoint(eager=True)
+        )
         return simhash_edges(signed).select("src", "dst")
 
     q["simhash_hamming_pairs"] = simhash_hamming_pairs

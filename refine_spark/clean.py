@@ -95,12 +95,26 @@ _BASE_TABLE: dict[str, str] = {
 TRANSLIT_TABLE: dict[str, str] = {**_BASE_TABLE, **CJK_TABLE}
 _TRANSLIT_EXTRA = TRANSLIT_TABLE  # backwards-compat alias
 
+# ASCII fast-path precondition: for any ASCII char the per-char loop below
+# is the identity (table miss -> hangul miss -> NFKD(c) == c, not
+# combining, not in the base table, ord < 128 -> emitted verbatim), so an
+# all-ASCII string can short-circuit to itself and ASCII chars inside a
+# mixed string can skip the lookups. Both rely on NO table key being
+# ASCII — proven here once at import instead of assumed per call.
+assert not any(ord(k) < 128 for k in TRANSLIT_TABLE), "ASCII key in TRANSLIT_TABLE"
+assert not any(ord(k) < 128 for k in _BASE_TABLE), "ASCII key in _BASE_TABLE"
+
 
 def _translit_str(s: str) -> str:
     if s is None:
         return None
+    if s.isascii():  # C-speed check; identity per the import-time proof
+        return s
     out = []
     for c in s:
+        if c < "\x80":  # mixed string: ASCII chars skip all three branches
+            out.append(c)
+            continue
         # 1) composed-char lookup (kana/Han/punct + every base entry,
         #    none of which NFKD-decompose)
         mapped = TRANSLIT_TABLE.get(c)

@@ -1087,7 +1087,11 @@ def extract_features(
                 }
             )
 
-    return media.select("media_id", "kind", "payload").mapInPandas(
+    from .partitioning import spread_small
+
+    # per-payload codec work is CPU-heavy; never let a byte-small
+    # (single-partition) input serialize the decode stage on one core
+    return spread_small(media.select("media_id", "kind", "payload")).mapInPandas(
         run, "media_id string, kind string, features array<double>"
     )
 
@@ -1159,7 +1163,9 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
         "media_id", "payload", F.col("meta.width").alias("width"),
         F.col("meta.height").alias("height"),
     )
-    resized = flat.mapInPandas(
+    from .partitioning import spread_small
+
+    resized = spread_small(flat).mapInPandas(
         run, "media_id string, payload binary, width int, height int"
     )
     return (

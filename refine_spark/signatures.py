@@ -59,10 +59,15 @@ def _shingle_hashes60(tokens: list[str], k: int) -> np.ndarray:
     (hash, summed count), and MinHash's min is unaffected by duplicate
     removal."""
     shingles = _shingle_strings(tokens, k)
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        out[i] = token_hash60(s)
-    return out
+    md5 = hashlib.md5
+    from_bytes = int.from_bytes
+    return np.array(
+        [
+            from_bytes(md5(s.encode("utf-8")).digest()[:8], "big") >> 4
+            for s in shingles
+        ],
+        dtype=np.uint64,
+    )
 
 
 def _minhash_from_uniq(uniq: np.ndarray, a: np.ndarray, b: np.ndarray) -> list[int]:
@@ -315,6 +320,11 @@ def make_signatures_udf(cfg: DedupConfig = DEFAULT):
 def with_signatures(docs, cfg: DedupConfig = DEFAULT, text_col: str = "text"):
     """Attach `minhash` (array<long>) and `simhash` (long) columns —
     one fused Arrow pass over the text."""
+    from .partitioning import spread_small
+
+    # hottest Python kernel in the repo: never let a byte-small
+    # (single-partition) input serialize it on one core
+    docs = spread_small(docs)
     sig = make_signatures_udf(cfg)
     return (
         docs.withColumn("_sig", sig(F.col(text_col)))

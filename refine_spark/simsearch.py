@@ -92,7 +92,9 @@ def brute_force_topk(
                 {"query_id": out_q, id_col: out_c, "cos": out_s}
             )
 
-    cand = corpus.select(id_col, vec_col).mapInPandas(
+    from .partitioning import spread_small
+
+    cand = spread_small(corpus.select(id_col, vec_col)).mapInPandas(
         score, f"query_id long, {id_col} long, cos double"
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.col(id_col))
@@ -204,8 +206,12 @@ def lsh_topk(
     once and only the tiny query side is replicated)."""
     from pyspark.sql import Window as W
 
+    from .partitioning import spread_small
+
     bucket = make_hyperplane_udf(dim, n_planes, cfg)
-    c = corpus.select(id_col, vec_col).withColumn("bucket", bucket(F.col(vec_col)))
+    c = spread_small(corpus.select(id_col, vec_col)).withColumn(
+        "bucket", bucket(F.col(vec_col))
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     ).withColumn("bucket0", bucket(F.col("qvec")))
@@ -339,6 +345,10 @@ def cosine_dup_pairs(
                 {"id_a": a_ids[ii][keep], "id_b": ids_b[jj][keep]}
             )
 
-    return embeddings.select(id_col, vec_col).mapInPandas(
+    from .partitioning import spread_small
+
+    # the block-matmul is O(rows_in_partition x corpus): a single-partition
+    # scan (few-MB parquet) serializes the whole N^2 work on one core
+    return spread_small(embeddings.select(id_col, vec_col)).mapInPandas(
         find, "id_a long, id_b long"
     )

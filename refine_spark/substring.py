@@ -84,8 +84,14 @@ def winnow_fingerprints(
 ) -> DataFrame:
     """(id, fp) one row per selected fingerprint. `id_col` may be the
     int64 doc_id (pipeline hot path) or the url string (standalone)."""
+    from .partitioning import spread_small
+
     n, w = cfg.winnow_ngram, cfg.winnow_window
     id_type = dict(docs.dtypes)[id_col]
+    # per-row-expensive numpy stage: spread a byte-small (few-partition)
+    # input across the cluster first, narrow projection only (no-op when
+    # the input is already parallel — see partitioning.spread_small)
+    docs = spread_small(docs.select(id_col, "text"))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

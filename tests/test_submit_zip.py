@@ -86,7 +86,13 @@ def test_spark_submit_py_files_runs_pipeline(tmp_path):
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
     assert lines, f"no JSON receipt in stdout:\n{out.stdout[-2000:]}"
     receipt = json.loads(lines[-1])
-    assert receipt["docs"] == 800
+    # gen_documents(n) overshoots n by up to one family (its while-loop
+    # stops at the first total >= n), so derive the expected count from
+    # the generator instead of assuming it lands exactly on n
+    from refine_spark import synth
+
+    expected_docs = len(synth.gen_documents(800)[0])
+    assert receipt["docs"] == expected_docs
     # the synthetic corpus plants duplicate clusters at every size
     assert receipt["clusters"] > 0
     assert receipt["dup_docs"] >= 2 * receipt["clusters"]
