@@ -25,9 +25,17 @@ from .config import DedupConfig, DEFAULT
 
 
 def _pairs_from_buckets(
-    keyed: DataFrame, id_col: str, key_cols: list[str], cap: int
+    keyed: DataFrame, id_col: str, key_cols: list[str], cap: int,
+    assume_unique: bool = False,
 ) -> DataFrame:
     """Group rows by blocking key and emit unique (src < dst) pairs.
+
+    assume_unique=True skips the (key, id) dropDuplicates — a full extra
+    exchange of the banded frame — for callers whose rows are unique by
+    construction (np.unique'd winnow fingerprints, one-row-per-(id, band)
+    explodes, array_distinct'd tokens). The bucket-size counts that gate
+    the hot/cold cap split assume uniqueness, so only such callers may
+    set it.
 
     Buckets larger than `cap` are truncated deterministically (the cap
     SMALLEST ids) and flagged via the `capped` column so callers can log
@@ -48,7 +56,9 @@ def _pairs_from_buckets(
     with no global sort."""
     from pyspark.sql import Window as W
 
-    uniq = keyed.select(*key_cols, id_col).dropDuplicates([*key_cols, id_col])
+    uniq = keyed.select(*key_cols, id_col)
+    if not assume_unique:
+        uniq = uniq.dropDuplicates([*key_cols, id_col])
     sizes = uniq.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_total"))
     hot_keys = sizes.filter(F.col("_total") > cap)
 
@@ -213,7 +223,10 @@ def lsh_candidates(
 ) -> DataFrame:
     """Unique candidate id pairs from LSH band collisions."""
     banded = lsh_band_keys(docs_with_sig.select(id_col, "minhash"), cfg, id_col=id_col)
-    pairs = _pairs_from_buckets(banded, id_col, ["band", "band_key"], cfg.band_cap)
+    pairs = _pairs_from_buckets(
+        banded, id_col, ["band", "band_key"], cfg.band_cap,
+        assume_unique=True,  # one row per (id, band) by construction
+    )
     return pairs.select("src", "dst").dropDuplicates(["src", "dst"])
 
 
@@ -301,5 +314,8 @@ def token_block_candidates(
         .select("token")
     )
     cold = tok.join(F.broadcast(hot), "token", "left_anti")
-    pairs = _pairs_from_buckets(cold, "url", ["token"], cfg.band_cap)
+    pairs = _pairs_from_buckets(
+        cold, "url", ["token"], cfg.band_cap,
+        assume_unique=True,  # array_distinct upstream: unique (url, token)
+    )
     return pairs.select("src", "dst").dropDuplicates(["src", "dst"])

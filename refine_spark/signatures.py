@@ -210,7 +210,10 @@ def simhash_edges(
 
     banded = simhash_band_keys(reps, cfg, id_col=id_col)
     rep_pairs = (
-        _pairs_from_buckets(banded, id_col, ["band", "band_key"], cfg.band_cap)
+        _pairs_from_buckets(
+            banded, id_col, ["band", "band_key"], cfg.band_cap,
+            assume_unique=True,  # one row per (rep, band)
+        )
         .select("src", "dst")
         .dropDuplicates(["src", "dst"])
     )
@@ -258,7 +261,10 @@ def simhash_edges(
     # expand == "pairs": exact hamming-ball pair semantics
     # intra-group: all (i < j) member pairs per identical fingerprint
     intra = (
-        _pairs_from_buckets(sigs, id_col, ["simhash"], cap=1 << 30)
+        _pairs_from_buckets(
+            sigs, id_col, ["simhash"], cap=1 << 30,
+            assume_unique=True,  # sigs is one row per id
+        )
         .select("src", "dst", F.lit(0).alias("ham"))
     )
     # cross-group: every member-of-A x member-of-B pair per rep edge

@@ -266,7 +266,10 @@ def lsh_dup_pairs(
         id_col, F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bucket")
     )
     pairs = (
-        _pairs_from_buckets(banded, id_col, ["tbl", "bucket"], cfg.band_cap)
+        _pairs_from_buckets(
+            banded, id_col, ["tbl", "bucket"], cfg.band_cap,
+            assume_unique=True,  # posexplode: one row per (id, tbl)
+        )
         .select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -332,15 +335,31 @@ def cosine_dup_pairs(
 
     def find(batches):
         ids_b, mat_b = bc.value
+        # float32 prefilter + exact float64 verify. The dense N x batch
+        # sims matrix is the stage's dominant memory traffic; in float64
+        # it is 8*N bytes per batch row, and 32 concurrent workers
+        # page-faulting/writing those fresh 100 MB buffers measured a
+        # 20x one-shot slowdown vs float32 (see OPTIMIZATION_r06.md).
+        # Candidates are taken at (threshold - margin) in float32 and the
+        # margin band is re-scored in float64, so the emitted pair set is
+        # decided by float64 cosine exactly as before: for unit vectors
+        # and dim <= a few thousand, |cos_f32 - cos_f64| <~ dim * 2^-23
+        # ~ 1e-5-1e-4, orders of magnitude under the 1e-2 margin.
+        margin = 1e-2
+        mat_b32 = mat_b.astype(np.float32)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             a_mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             a_mat /= np.maximum(np.linalg.norm(a_mat, axis=1, keepdims=True), 1e-12)
-            sims = a_mat @ mat_b.T
+            sims32 = a_mat.astype(np.float32) @ mat_b32.T
             a_ids = pdf[id_col].to_numpy()
-            ii, jj = np.nonzero(sims >= threshold)
-            keep = a_ids[ii] < ids_b[jj]
+            ii, jj = np.nonzero(sims32 >= threshold - margin)
+            if len(ii):
+                exact = np.einsum("ij,ij->i", a_mat[ii], mat_b[jj])
+                keep = (exact >= threshold) & (a_ids[ii] < ids_b[jj])
+            else:
+                keep = np.zeros(0, dtype=bool)
             yield pd.DataFrame(
                 {"id_a": a_ids[ii][keep], "id_b": ids_b[jj][keep]}
             )

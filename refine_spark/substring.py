@@ -128,23 +128,40 @@ def substring_edges(
     # CPU-heavy mapInPandas winnowing stage can run per subplan
     fps = winnow_fingerprints(docs, cfg, id_col=id_col).localCheckpoint(eager=True)
     pairs = (
-        _pairs_from_buckets(fps, id_col, ["fp"], cfg.band_cap)
+        _pairs_from_buckets(
+            fps, id_col, ["fp"], cfg.band_cap,
+            assume_unique=True,  # np.unique per doc upstream
+        )
         .select("src", "dst")
         .dropDuplicates(["src", "dst"])
     )
-    # candidate pairs are two ints; texts are the fat payload — a
-    # broadcast-hinted pair side keeps the first text attach map-side
-    # (byte-gated; falls back to sort-merge at corpus-scale pair counts)
-    pairs, _ = materialize_pairs(pairs)
     texts = docs.select(id_col, "text")
     a = texts.select(F.col(id_col).alias("src"), F.col("text").alias("text_a"))
     b = texts.select(F.col(id_col).alias("dst"), F.col("text").alias("text_b"))
     # candidate pairs are byte-small, so AQE coalesces them to ~1 partition
-    # — which would serialize the CPU-heavy LCS verify. Spread the joined
-    # rows across the cluster as the LAST shuffle before the Python stage
-    # (an explicit numPartitions repartition is never coalesced by AQE).
+    # — which would serialize the CPU-heavy LCS verify. Spread across the
+    # cluster with an explicit repartition (never coalesced by AQE) —
+    # placed BEFORE the text attach when the text table is small enough
+    # to broadcast, so the fat joined rows (pair x two full texts, ~100x
+    # the pair bytes) are never shuffled at all; the measured r5 shape
+    # (broadcast pairs -> stream texts -> repartition joined) moved
+    # ~640 MB of attached text through the exchange at sf1.0.
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    joined = pairs.join(a, "src").join(b, "dst").repartition(parallelism)
+    pairs = pairs.localCheckpoint(eager=True)  # feeds both join plans once
+    from .candidates import count_and_est_bytes
+
+    _, txt_bytes = count_and_est_bytes(texts)
+    if txt_bytes <= 256 * 1024 * 1024:
+        joined = (
+            pairs.repartition(parallelism)
+            .join(F.broadcast(a), "src")
+            .join(F.broadcast(b), "dst")
+        )
+    else:
+        # corpus-scale texts: broadcast the byte-gated pair side instead
+        # (keeps the first attach map-side), shuffle the joined rows once
+        pairs, _ = materialize_pairs(pairs)
+        joined = pairs.join(a, "src").join(b, "dst").repartition(parallelism)
 
     min_len = cfg.min_substring
     n = cfg.winnow_ngram
