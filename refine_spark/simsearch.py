@@ -326,11 +326,19 @@ def cosine_dup_pairs(
             return spark.createDataFrame([], "id_a long, id_b long")
         dim = len(head[0])
     cap = _broadcast_row_cap(dim, broadcast_max_rows, driver_budget_bytes)
-    if embeddings.select(id_col).limit(cap + 1).count() > cap:
+    # gate + collect fused into ONE job: pull at most cap+1 rows; if the
+    # corpus fit, this IS the exact path's matrix (the old shape paid a
+    # separate limit().count() scan and then re-collected everything).
+    # Over the cap the collected prefix is discarded — bounded by the
+    # same driver byte budget the exact path would spend anyway.
+    pdf = embeddings.select(id_col, vec_col).limit(cap + 1).toPandas()
+    if len(pdf) > cap:
         return lsh_dup_pairs(
             embeddings, threshold, id_col, vec_col, cfg=cfg, dim=dim
         )
-    b_ids, b_mat = _broadcast_matrix(embeddings, id_col, vec_col)
+    b_ids = pdf[id_col].to_numpy()
+    b_mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    b_mat /= np.maximum(np.linalg.norm(b_mat, axis=1, keepdims=True), 1e-12)
     bc = spark.sparkContext.broadcast((b_ids, b_mat))
 
     def find(batches):
