@@ -27,13 +27,15 @@ def build(out_path: str) -> list[str]:
     )
     # fixed-level DEFLATE + zeroed timestamps: byte-identical archives
     # for identical sources, so cluster deploys are content-addressable
-    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
+    with zipfile.ZipFile(
+        out_path, "w", zipfile.ZIP_DEFLATED, compresslevel=9
+    ) as zf:
         for n in names:
             src = os.path.join(pkg, n)
             info = zipfile.ZipInfo(f"refine_spark/{n}", date_time=(1980, 1, 1, 0, 0, 0))
             info.external_attr = 0o644 << 16
             with open(src, "rb") as fh:
-                zf.writestr(info, fh.read(), zipfile.ZIP_DEFLATED)
+                zf.writestr(info, fh.read(), zipfile.ZIP_DEFLATED, compresslevel=9)
     return names
 
 

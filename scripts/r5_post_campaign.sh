@@ -17,8 +17,10 @@ done
 echo "campaign done at $(date -Is), load $(cut -d' ' -f1 /proc/loadavg)" > r5_post_campaign.status
 
 python bench.py > bench_r5_quiet.json 2> bench_r5_quiet.err
-echo "bench done at $(date -Is), rc=$?" >> r5_post_campaign.status
+rc=$?  # capture BEFORE the $(date -Is) substitution clobbers $?
+echo "bench done at $(date -Is), rc=$rc" >> r5_post_campaign.status
 
 SPARK_GRAFT_CC_EDGES=10000000 SPARK_GRAFT_CPUS=16 \
     python scripts/verify_distributed_cc.py > cc_verify_r5.json 2> cc_verify_r5.err
-echo "cc verify done at $(date -Is), rc=$?" >> r5_post_campaign.status
+rc=$?
+echo "cc verify done at $(date -Is), rc=$rc" >> r5_post_campaign.status

@@ -5,7 +5,7 @@ refine_spark package and this driver script —
 
   spark-submit --master <cluster> \
       --py-files refine_spark.zip \
-      scripts/submit_job.py --input <parquet-or-iceberg-path> \
+      scripts/submit_job.py --input <parquet-path> \
       [--output <dir>] [--synth N]
 
 On a real cluster --input points at the Iceberg/Parquet web-page table
@@ -29,7 +29,7 @@ import time
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", help="web-page table path (parquet dir)")
+    ap.add_argument("--input", help="web-page table path (parquet dir; Iceberg would need a --format dispatch, not implemented)")
     ap.add_argument("--output", help="optional parquet dir for cluster assignments")
     ap.add_argument("--synth", type=int, default=0,
                     help="generate N synthetic docs instead of reading --input")
